@@ -1,0 +1,390 @@
+"""Numpy sketch kernels + compact mergeable sketch structures.
+
+This is the frozen kernel layer: every hash the pipeline computes (shingle
+hashes, MinHash permutations, SimHash bits, LSH band hashes) is defined here
+and ONLY here, so the distributed Spark pipeline and the single-node numpy
+reference implementation are bit-identical by construction (SURVEY.md §7.4-3).
+
+Sketch structures follow the reference's lifecycle contract —
+update / merge / serialize / heapify with a self-describing validated preamble:
+  - update appends state, merge is associative and schema-checked
+    (reference: decomposition/FrequentDirections.java:187-232)
+  - serialized image = little-endian preamble + payload, empty state is
+    header-only (FrequentDirections.java:377-412, PreambleUtil.java:38-52)
+  - heapify validates ser-ver and family id and raises on corruption
+    (FrequentDirections.java:104-148)
+
+All arithmetic is uint64 with natural wraparound; constants are np.uint64 to
+avoid numpy's int-promotion pitfalls. No per-row Python anywhere: every kernel
+takes whole batches (BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+U64 = np.uint64
+# splitmix64 constants (public domain, Steele et al., JDK SplittableRandom)
+_SM_GAMMA = U64(0x9E3779B97F4A7C15)
+_SM_M1 = U64(0xBF58476D1CE4E5B9)
+_SM_M2 = U64(0x94D049BB133111EB)
+# polynomial combine multipliers for token windows (odd 64-bit constants)
+_POLY = np.array(
+    [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+     0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD,
+     0xC4CEB9FE1A85EC53, 0x2545F4914F6CDD1D],
+    dtype=np.uint64,
+)
+_BAND_MUL = U64(0xFF51AFD7ED558CCD)
+
+# family ids continue the reference's registry: MATRIX=128, FREQUENTDIRECTIONS=129
+# (reference: matrix/MatrixFamily.java:43-47)
+FAMILY_MINHASH = 130
+FAMILY_SIGBLOCK = 131
+SER_VER = 1
+MAGIC = 0x4D485348  # "MHSH"
+FLAG_EMPTY = 4      # same flag value the reference uses (PreambleUtil.java:79)
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 arrays (wrapping)."""
+    z = x.astype(np.uint64, copy=True)
+    z += _SM_GAMMA
+    z = (z ^ (z >> U64(30))) * _SM_M1
+    z = (z ^ (z >> U64(27))) * _SM_M2
+    return z ^ (z >> U64(31))
+
+
+def hash_strings(values: np.ndarray) -> np.ndarray:
+    """Deterministic 64-bit hashes for an object array of strings.
+
+    pandas' hash_array is SipHash-1-3 with a fixed key — deterministic across
+    processes and runs, vectorized in C.
+    """
+    if len(values) == 0:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_array(np.asarray(values, dtype=object))
+
+
+def perm_seeds(num_perm: int, seed: int) -> np.ndarray:
+    """The MinHash permutation family: num_perm seeds derived from the master
+    seed via splitmix64 (a seeded stream, like the reference's seeded Gaussian
+    start block in computeSISVD, MatrixOpsImplOjAlgo.java:178)."""
+    idx = np.arange(1, num_perm + 1, dtype=np.uint64) + U64(seed & 0xFFFFFFFFFFFFFFFF)
+    return splitmix64(idx)
+
+
+def combine_windows(token_hashes: np.ndarray, k: int) -> np.ndarray:
+    """Polynomial combine of every length-k window of a flat uint64 array.
+
+    Returns an array of len(token_hashes) - k + 1 mixed window hashes.
+    Caller masks out windows that cross document boundaries.
+    """
+    n = len(token_hashes)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    acc = token_hashes[: n - k + 1] * _POLY[0]
+    for j in range(1, k):
+        acc = acc + token_hashes[j : n - k + 1 + j] * _POLY[j % len(_POLY)]
+    return splitmix64(acc)
+
+
+def minhash_from_segments(
+    shingles: np.ndarray, starts: np.ndarray, seeds: np.ndarray, chunk: int = 32
+) -> np.ndarray:
+    """MinHash signatures for contiguous shingle segments.
+
+    shingles: flat uint64 array of shingle hashes for a batch of docs
+    starts:   int64 array of segment start offsets (every segment non-empty)
+    seeds:    (num_perm,) uint64 permutation seeds
+    Returns (n_docs, num_perm) uint64. Permutations processed in chunks to
+    bound peak memory at chunk * len(shingles) * 8 bytes.
+    """
+    n_docs = len(starts)
+    num_perm = len(seeds)
+    out = np.empty((n_docs, num_perm), dtype=np.uint64)
+    if n_docs == 0:
+        return out
+    for c0 in range(0, num_perm, chunk):
+        c1 = min(c0 + chunk, num_perm)
+        h = splitmix64(shingles[None, :] ^ seeds[c0:c1, None])
+        out[:, c0:c1] = np.minimum.reduceat(h, starts, axis=1).T
+    return out
+
+
+def simhash_from_segments(shingles: np.ndarray, starts: np.ndarray,
+                          seg_counts: np.ndarray, bit_chunk: int = 16) -> np.ndarray:
+    """64-bit SimHash per segment: majority vote over shingle-hash bits.
+
+    Bit j of the fingerprint is 1 iff >= half of the segment's shingle hashes
+    have bit j set (ties round up). Returns (n_docs,) uint64. Bit columns are
+    processed in chunks to bound peak memory at bit_chunk * len(shingles) * 8.
+    """
+    n_docs = len(starts)
+    if n_docs == 0:
+        return np.empty(0, dtype=np.uint64)
+    out = np.zeros(n_docs, dtype=np.uint64)
+    for b0 in range(0, 64, bit_chunk):
+        b1 = min(b0 + bit_chunk, 64)
+        shifts = np.arange(b0, b1, dtype=np.uint64)
+        bits = ((shingles[:, None] >> shifts[None, :]) & U64(1)).astype(np.int64)
+        sums = np.add.reduceat(bits, starts, axis=0)  # (n_docs, b1-b0)
+        maj = (2 * sums >= seg_counts[:, None]).astype(np.uint64)
+        out |= (maj << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+    return out
+
+
+def band_hashes(sig: np.ndarray, bands: int, rows: int, seed: int) -> np.ndarray:
+    """LSH band hashes: (n_docs, bands) uint64 from (n_docs, bands*rows) sigs.
+
+    Each band hash folds its `rows` signature components through a
+    multiply-xor-mix chain seeded per band, so identical sub-signatures in
+    different bands never collide into the same bucket.
+    """
+    n = sig.shape[0]
+    s = sig.reshape(n, bands, rows)
+    acc = np.broadcast_to(
+        splitmix64(np.arange(bands, dtype=np.uint64) + U64(seed)), (n, bands)
+    ).copy()
+    for r in range(rows):
+        acc = splitmix64((acc * _BAND_MUL) ^ s[:, :, r])
+    return acc
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 fingerprint arrays."""
+    x = a ^ b
+    return np.array([bin(int(v)).count("1") for v in x], dtype=np.int64) if len(x) < 64 else _popcount(x)
+
+
+def _popcount(x: np.ndarray) -> np.ndarray:
+    x = x.copy()
+    c = np.zeros(len(x), dtype=np.int64)
+    m1, m2, m4 = U64(0x5555555555555555), U64(0x3333333333333333), U64(0x0F0F0F0F0F0F0F0F)
+    x = x - ((x >> U64(1)) & m1)
+    x = (x & m2) + ((x >> U64(2)) & m2)
+    x = (x + (x >> U64(4))) & m4
+    c[:] = ((x * U64(0x0101010101010101)) >> U64(56)).astype(np.int64)
+    return c
+
+
+def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
+    """MinHash Jaccard estimate: fraction of equal components. Vectorized over
+    (n_pairs, num_perm) matrices."""
+    return (sig_a == sig_b).mean(axis=1)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketch structures with compact serialization
+# ---------------------------------------------------------------------------
+
+_MINHASH_HEADER = struct.Struct("<IBBBxiiq")  # magic, ver, family, flags, num_perm, seed32, n
+
+
+class SketchCorruptionError(ValueError):
+    """Raised when a serialized sketch image fails validation — the analog of
+    the reference's heapify rejections (FrequentDirections.java:117-126)."""
+
+
+@dataclass
+class MinHashSketch:
+    """Corpus-level mergeable MinHash sketch.
+
+    Maintains the elementwise minimum over all document signatures (equals the
+    MinHash of the union of all shingle sets), plus a document counter.
+    update = per-partition partial, merge = associative elementwise min —
+    exactly the partial+final Aggregator contract the reference's
+    update/merge embodies (FrequentDirections.java:187-232).
+    """
+
+    num_perm: int = 128
+    seed: int = 42
+    n: int = 0
+    mins: np.ndarray = field(default=None)  # type: ignore[assignment]
+
+    def __post_init__(self) -> None:
+        if self.num_perm < 1:
+            raise ValueError(f"num_perm must be >= 1, got {self.num_perm}")
+        if self.mins is None:
+            self.mins = np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+
+    @property
+    def is_empty(self) -> bool:
+        return self.n == 0
+
+    def update(self, sig_matrix: np.ndarray) -> None:
+        """Fold a (rows, num_perm) signature matrix into the sketch.
+        Null/empty update is a no-op (reference: FrequentDirections.java:188-190)."""
+        if sig_matrix is None or len(sig_matrix) == 0:
+            return
+        if sig_matrix.shape[1] != self.num_perm:
+            raise ValueError(
+                f"signature width {sig_matrix.shape[1]} != num_perm {self.num_perm}"
+            )
+        self.mins = np.minimum(self.mins, sig_matrix.min(axis=0).astype(np.uint64))
+        self.n += int(sig_matrix.shape[0])
+
+    def merge(self, other: "MinHashSketch") -> None:
+        """Associative merge; schema-checked, empty-merge is a no-op
+        (reference: FrequentDirections.java:211-232)."""
+        if other is None or other.is_empty:
+            return
+        if other.num_perm != self.num_perm or other.seed != self.seed:
+            raise ValueError(
+                f"incompatible sketches: ({self.num_perm},{self.seed}) vs "
+                f"({other.num_perm},{other.seed})"
+            )
+        self.mins = np.minimum(self.mins, other.mins)
+        self.n += other.n
+
+    def estimate_jaccard(self, other: "MinHashSketch") -> float:
+        if other.num_perm != self.num_perm or other.seed != self.seed:
+            raise ValueError("incompatible sketches")
+        return float((self.mins == other.mins).mean())
+
+    def to_bytes(self) -> bytes:
+        """Empty state serializes header-only, like the reference's 16-byte
+        empty image (FrequentDirections.java:381-383)."""
+        flags = FLAG_EMPTY if self.is_empty else 0
+        head = _MINHASH_HEADER.pack(
+            MAGIC, SER_VER, FAMILY_MINHASH, flags, self.num_perm,
+            self.seed & 0x7FFFFFFF, self.n,
+        )
+        if self.is_empty:
+            return head
+        return head + self.mins.tobytes()
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "MinHashSketch":
+        if len(buf) < _MINHASH_HEADER.size:
+            raise SketchCorruptionError(f"image too short: {len(buf)} bytes")
+        magic, ver, family, flags, num_perm, seed, n = _MINHASH_HEADER.unpack_from(buf)
+        if magic != MAGIC:
+            raise SketchCorruptionError(f"bad magic 0x{magic:08X}")
+        if ver != SER_VER:
+            raise SketchCorruptionError(f"unsupported ser-ver {ver}")
+        if family != FAMILY_MINHASH:
+            raise SketchCorruptionError(f"wrong family id {family}")
+        sk = cls(num_perm=num_perm, seed=seed)
+        if flags & FLAG_EMPTY:
+            return sk
+        need = _MINHASH_HEADER.size + num_perm * 8
+        if len(buf) < need:
+            raise SketchCorruptionError(f"truncated payload: {len(buf)} < {need}")
+        sk.mins = np.frombuffer(buf, dtype=np.uint64, count=num_perm,
+                                offset=_MINHASH_HEADER.size).copy()
+        sk.n = n
+        return sk
+
+
+_SIGBLOCK_HEADER = struct.Struct("<IBBBxiiq")  # magic, ver, family, flags, num_perm, seed32, n_rows
+
+
+@dataclass
+class SignatureBlock:
+    """Per-partition signature-matrix state: (doc_key, signature) rows held as
+    one compact block — the checkpointable unit of the signatures stage.
+
+    Compact serialization stores only used rows (the reference's
+    toCompactByteArray discipline, matrix/MatrixImplOjAlgo.java:136-175):
+    header + key-lengths + utf8 keys + row-major uint64 signature matrix.
+    merge = concat + last-writer-wins dedupe by key, associative up to the
+    canonical sort applied before emit.
+    """
+
+    num_perm: int = 128
+    seed: int = 42
+    keys: list = field(default_factory=list)
+    sigs: np.ndarray = field(default=None)  # type: ignore[assignment]
+
+    def __post_init__(self) -> None:
+        if self.sigs is None:
+            self.sigs = np.empty((0, self.num_perm), dtype=np.uint64)
+
+    @property
+    def n(self) -> int:
+        return len(self.keys)
+
+    @property
+    def is_empty(self) -> bool:
+        return self.n == 0
+
+    def update(self, keys: list, sig_matrix: np.ndarray) -> None:
+        if keys is None or len(keys) == 0:
+            return
+        if sig_matrix.shape != (len(keys), self.num_perm):
+            raise ValueError(
+                f"shape {sig_matrix.shape} != ({len(keys)},{self.num_perm})"
+            )
+        self.keys.extend(keys)
+        self.sigs = np.vstack([self.sigs, sig_matrix.astype(np.uint64)])
+
+    def merge(self, other: "SignatureBlock") -> None:
+        if other is None or other.is_empty:
+            return
+        if other.num_perm != self.num_perm or other.seed != self.seed:
+            raise ValueError("incompatible signature blocks")
+        self.update(other.keys, other.sigs)
+        self._canonicalize()
+
+    def _canonicalize(self) -> None:
+        """Sort by key and keep the first occurrence — makes merge output
+        independent of merge order (SURVEY §2.3-1: order-insensitive within
+        guarantees)."""
+        if self.n == 0:
+            return
+        keys = np.asarray(self.keys, dtype=object)
+        order = np.argsort(keys, kind="stable")
+        keys, sigs = keys[order], self.sigs[order]
+        keep = np.ones(len(keys), dtype=bool)
+        keep[1:] = keys[1:] != keys[:-1]
+        self.keys = list(keys[keep])
+        self.sigs = sigs[keep]
+
+    def to_bytes(self) -> bytes:
+        flags = FLAG_EMPTY if self.is_empty else 0
+        head = _SIGBLOCK_HEADER.pack(
+            MAGIC, SER_VER, FAMILY_SIGBLOCK, flags, self.num_perm,
+            self.seed & 0x7FFFFFFF, self.n,
+        )
+        if self.is_empty:
+            return head
+        key_bytes = [k.encode("utf-8") for k in self.keys]
+        lens = np.array([len(b) for b in key_bytes], dtype=np.int32)
+        return head + lens.tobytes() + b"".join(key_bytes) + self.sigs.tobytes()
+
+    @classmethod
+    def from_bytes(cls, buf: bytes) -> "SignatureBlock":
+        if len(buf) < _SIGBLOCK_HEADER.size:
+            raise SketchCorruptionError(f"image too short: {len(buf)} bytes")
+        magic, ver, family, flags, num_perm, seed, n = _SIGBLOCK_HEADER.unpack_from(buf)
+        if magic != MAGIC:
+            raise SketchCorruptionError(f"bad magic 0x{magic:08X}")
+        if ver != SER_VER:
+            raise SketchCorruptionError(f"unsupported ser-ver {ver}")
+        if family != FAMILY_SIGBLOCK:
+            raise SketchCorruptionError(f"wrong family id {family}")
+        blk = cls(num_perm=num_perm, seed=seed)
+        if flags & FLAG_EMPTY:
+            return blk
+        off = _SIGBLOCK_HEADER.size
+        if len(buf) < off + 4 * n:
+            raise SketchCorruptionError("truncated key-length table")
+        lens = np.frombuffer(buf, dtype=np.int32, count=n, offset=off)
+        off += 4 * n
+        total_key = int(lens.sum())
+        need = off + total_key + n * num_perm * 8
+        if len(buf) < need:
+            raise SketchCorruptionError(f"truncated payload: {len(buf)} < {need}")
+        keys, pos = [], off
+        for ln in lens:
+            keys.append(buf[pos : pos + ln].decode("utf-8"))
+            pos += int(ln)
+        sigs = np.frombuffer(buf, dtype=np.uint64, count=n * num_perm,
+                             offset=pos).reshape(n, num_perm).copy()
+        blk.keys, blk.sigs = keys, sigs
+        return blk
