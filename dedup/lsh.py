@@ -1,0 +1,103 @@
+"""LSH candidate generation: band buckets → pairs, with explicit skew defense.
+
+Skew is the north-rule hazard (SURVEY §7.4-2): a hot band bucket (license
+headers, empty files, one giant repo) makes the within-bucket self-join
+quadratic in one task. Three defenses, in order:
+
+1. sha256-exact dedup BEFORE MinHash (pipeline.py) — verbatim copies never
+   reach LSH at all.
+2. bucket cap: buckets larger than cfg.band_bucket_cap are dropped from pair
+   generation and their pair count is recorded in metrics — the compensative
+   accounting discipline of the reference's svAdjustment_ (§2.3-5): mass we
+   subtract is tracked, never silently lost.
+3. salted self-join for hot-but-eligible buckets: the left side keeps one salt,
+   the right side is replicated to all salts, so a size-m bucket fans out to
+   `salts` parallel tasks instead of one m² task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dedup.config import DedupConfig
+
+HOT_BUCKET_MIN = 64  # buckets below this use the plain join path
+
+
+def bucket_sizes(bands_df: DataFrame) -> DataFrame:
+    """Per-(band_id, band_hash) doc counts — map-side partial aggregation,
+    no skew risk."""
+    return bands_df.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("bucket_size")
+    )
+
+
+def candidate_pairs(
+    bands_df: DataFrame,
+    cfg: DedupConfig,
+    salts: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """(pairs, dropped) from band buckets.
+
+    pairs:   (key_a, key_b, n_bands_hit) with key_a < key_b, distinct
+    dropped: (band_id, band_hash, bucket_size) for capped buckets — the
+             compensative record (recall auditing, SURVEY §2.3-5)
+    """
+    sizes = bucket_sizes(bands_df)
+    dropped = sizes.where(F.col("bucket_size") > cfg.band_bucket_cap)
+    eligible = sizes.where(
+        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.band_bucket_cap)
+    )
+    tagged = bands_df.join(
+        eligible.withColumn("hot", F.col("bucket_size") >= HOT_BUCKET_MIN),
+        on=["band_id", "band_hash"],
+    )
+
+    cold = tagged.where(~F.col("hot")).select("doc_key", "band_id", "band_hash")
+    hot = tagged.where(F.col("hot")).select("doc_key", "band_id", "band_hash")
+
+    cold_pairs = _plain_self_join(cold)
+    hot_pairs = _salted_self_join(hot, salts)
+
+    pairs = (
+        cold_pairs.unionByName(hot_pairs)
+        .groupBy("key_a", "key_b")
+        .agg(F.count("*").alias("n_bands_hit"))
+    )
+    return pairs, dropped
+
+
+def _plain_self_join(bands: DataFrame) -> DataFrame:
+    a, b = bands.alias("a"), bands.alias("b")
+    return a.join(
+        b,
+        on=[
+            F.col("a.band_id") == F.col("b.band_id"),
+            F.col("a.band_hash") == F.col("b.band_hash"),
+            F.col("a.doc_key") < F.col("b.doc_key"),
+        ],
+    ).select(F.col("a.doc_key").alias("key_a"), F.col("b.doc_key").alias("key_b"))
+
+
+def _salted_self_join(bands: DataFrame, salts: int) -> DataFrame:
+    """Salted repartitioning for hot buckets: each pair (a,b) is produced
+    exactly once — at the salt of its left member — while the join key
+    (band_id, band_hash, salt) spreads one hot bucket across `salts` tasks."""
+    if salts < 2:
+        return _plain_self_join(bands)
+    left = bands.withColumn(
+        "salt", F.pmod(F.xxhash64("doc_key"), F.lit(salts)).cast("int")
+    )
+    right = bands.withColumn(
+        "salt", F.explode(F.array(*[F.lit(s) for s in range(salts)]))
+    )
+    return left.alias("a").join(
+        right.alias("b"),
+        on=[
+            F.col("a.band_id") == F.col("b.band_id"),
+            F.col("a.band_hash") == F.col("b.band_hash"),
+            F.col("a.salt") == F.col("b.salt"),
+            F.col("a.doc_key") < F.col("b.doc_key"),
+        ],
+    ).select(F.col("a.doc_key").alias("key_a"), F.col("b.doc_key").alias("key_b"))

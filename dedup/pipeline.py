@@ -1,0 +1,238 @@
+"""Stage orchestration: corpus → exact dups → signatures → LSH → verify →
+union-find clusters, with per-stage checkpointing and mid-stage resume.
+
+Stage graph (M1..M5 of SURVEY §7.3):
+
+    corpus (repo, path, commit, lang, content)
+      └─ key_docs: doc_key = sha2(identity), content_sha = sha2(content)   [JVM]
+          ├─ exact_dups: groupBy(content_sha) → representatives + exact pairs
+          ├─ signatures: mapInPandas kernel pass over REPRESENTATIVES only
+          │     └─ checkpointed as per-partition SignatureBlock sketch rows;
+          │        resume anti-joins done keys and computes only the rest
+          ├─ bands → candidate_pairs (capped + salted, lsh.py)
+          ├─ verified_pairs (zip_with/aggregate, verify.py)
+          └─ connected_components (star contraction, cluster.py) → clusters
+
+Only representatives flow through MinHash: verbatim copies (the 10^12-file
+scale's bulk) are folded by the exact stage first — the cheapest skew defense
+(SURVEY §7.4-2). Exact-dup members inherit their representative's cluster
+through the exact edges.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dedup.cluster import attach_singletons, connected_components
+from dedup.config import DedupConfig
+from dedup.lsh import candidate_pairs
+from dedup.minhash import (
+    SIGNATURE_SCHEMA,
+    compute_bands,
+    compute_signatures,
+    with_doc_key,
+)
+from dedup.sketches import MAGIC, SER_VER, SignatureBlock
+from dedup.verify import verified_pairs
+from dedup.warehouse import CHECKPOINT_SCHEMA, Warehouse
+
+SIG_STAGE = "signatures"
+
+
+def key_docs(df: DataFrame, key_cols: list[str] | None = None,
+             content_col: str = "content") -> DataFrame:
+    key_cols = key_cols or ["repo", "path", "commit"]
+    return with_doc_key(df, key_cols, content_col)
+
+
+def exact_stage(keyed: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """→ (representatives, exact_pairs). Representative = min doc_key per
+    content_sha; partial aggregation JVM-side, no data explosion."""
+    reps = keyed.groupBy("content_sha").agg(F.min("doc_key").alias("rep_key"))
+    joined = keyed.join(reps, "content_sha")
+    rep_docs = joined.where(F.col("doc_key") == F.col("rep_key")).drop("rep_key")
+    pairs = (
+        joined.where(F.col("doc_key") != F.col("rep_key"))
+        .select(F.col("rep_key").alias("key_a"), F.col("doc_key").alias("key_b"))
+    )
+    return rep_docs, pairs
+
+
+# ---------------------------------------------------------------------------
+# signature checkpoint: per-partition SignatureBlock sketch rows
+# ---------------------------------------------------------------------------
+
+def signature_blocks(sig_df: DataFrame, cfg: DedupConfig,
+                     stage: str = SIG_STAGE) -> DataFrame:
+    """Signatures → one CHECKPOINT_SCHEMA row per partition, payload =
+    compact SignatureBlock image. Empty partitions emit a valid header-only
+    row (reference: empty state serializes to header-only,
+    FrequentDirections.java:381-383)."""
+    num_perm, seed, cfg_hash = cfg.num_perm, cfg.seed, cfg.config_hash()
+
+    def to_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        blk = SignatureBlock(num_perm=num_perm, seed=seed)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            blk.update(
+                list(pdf["doc_key"]),
+                list(pdf["content_sha"]),
+                np.vstack(pdf["minhash"].to_numpy()).astype(np.uint64)
+                if len(pdf) else np.empty((0, num_perm), dtype=np.uint64),
+                pdf["simhash"].to_numpy().astype(np.int64).view(np.uint64),
+                pdf["n_shingles"].to_numpy().astype(np.int32),
+            )
+        payload = blk.to_bytes()
+        yield pd.DataFrame(
+            {
+                "magic": np.array([MAGIC], dtype=np.int32),
+                "ver": np.array([SER_VER], dtype=np.int32),
+                "stage": [stage],
+                "config_hash": [cfg_hash],
+                "part_id": np.array([pid], dtype=np.int32),
+                "rows_used": np.array([blk.n], dtype=np.int32),
+                "payload": [payload],
+                "n": np.array([blk.n], dtype=np.int64),
+                "created_at": np.array([int(time.time() * 1000)], dtype=np.int64),
+            }
+        )
+
+    return sig_df.mapInPandas(to_blocks, CHECKPOINT_SCHEMA)
+
+
+def decode_signature_blocks(ckpt: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Checkpoint rows → signature rows; validates every image and the
+    config hash — refuses to resume from a mismatched config, like heapify
+    refusing a wrong family id (FrequentDirections.java:122-126)."""
+    num_perm, seed, cfg_hash = cfg.num_perm, cfg.seed, cfg.config_hash()
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for ch, payload in zip(pdf["config_hash"], pdf["payload"]):
+                if ch != cfg_hash:
+                    raise ValueError(
+                        f"checkpoint config hash {ch} != current {cfg_hash}; "
+                        "refusing to resume from a mismatched config"
+                    )
+                blk = SignatureBlock.from_bytes(bytes(payload))
+                if blk.num_perm != num_perm or blk.seed != seed:
+                    raise ValueError("checkpoint sketch params mismatch")
+                if blk.is_empty:
+                    continue
+                yield pd.DataFrame(
+                    {
+                        "doc_key": blk.keys,
+                        "content_sha": blk.shas,
+                        "minhash": list(blk.sigs.astype(np.int64)),
+                        "simhash": blk.sims.view(np.int64),
+                        "n_shingles": blk.n_shingles,
+                    }
+                )
+
+    return ckpt.mapInPandas(decode, SIGNATURE_SCHEMA)
+
+
+def signatures_with_resume(
+    rep_docs: DataFrame, cfg: DedupConfig, wh: Warehouse | None,
+    table: str = "checkpoint_signatures",
+) -> DataFrame:
+    """Compute signatures for rep_docs, resuming from checkpointed
+    SignatureBlocks: already-checkpointed doc_keys are anti-joined away and
+    only the remainder is computed (mid-stage resume, north rule)."""
+    if wh is None:
+        return compute_signatures(rep_docs, cfg)
+    cfg_hash = cfg.config_hash()
+    if wh.exists(table):
+        existing = wh.read(table).where(
+            (F.col("stage") == SIG_STAGE) & (F.col("config_hash") == cfg_hash)
+        )
+        done = decode_signature_blocks(existing, cfg)
+        todo = rep_docs.join(done.select("doc_key"), "doc_key", "left_anti")
+    else:
+        done = None
+        todo = rep_docs
+    new_rows = todo.count()
+    if new_rows > 0:
+        new_sigs = compute_signatures(todo, cfg)
+        wh.append(signature_blocks(new_sigs, cfg), table)
+        wh.record_lineage(SIG_STAGE, cfg_hash, "appended", new_rows, table)
+    final = decode_signature_blocks(
+        wh.read(table).where(
+            (F.col("stage") == SIG_STAGE) & (F.col("config_hash") == cfg_hash)
+        ),
+        cfg,
+    )
+    # blocks are disjoint by construction; dropDuplicates is a cheap guard
+    # (kernels are deterministic, so any surviving row is identical)
+    return final.dropDuplicates(["doc_key"])
+
+
+# ---------------------------------------------------------------------------
+# full pipeline
+# ---------------------------------------------------------------------------
+
+def run_dedup(
+    spark: SparkSession,
+    df: DataFrame,
+    cfg: DedupConfig | None = None,
+    key_cols: list[str] | None = None,
+    content_col: str = "content",
+    warehouse: Warehouse | None = None,
+) -> DataFrame:
+    """Corpus → (doc_key, cluster_id) for every input row.
+
+    cluster_id = lexicographic min doc_key of the near-duplicate component
+    (canonical, deterministic regardless of execution order — SURVEY §2.3-1).
+    """
+    cfg = cfg or DedupConfig()
+    cfg_hash = cfg.config_hash()
+
+    def _metric(stage, t0, **kw):
+        if warehouse is not None:
+            warehouse.record_metrics(stage, cfg_hash,
+                                     int((time.time() - t0) * 1000), **kw)
+
+    keyed = key_docs(df, key_cols, content_col)
+
+    t0 = time.time()
+    rep_docs, exact_pairs = exact_stage(keyed)
+    _metric("exact", t0)
+
+    t0 = time.time()
+    sigs = signatures_with_resume(rep_docs, cfg, warehouse)
+    sigs = sigs.persist()
+    _metric(SIG_STAGE, t0, rows_out=sigs.count())
+
+    t0 = time.time()
+    bands = compute_bands(sigs, cfg)
+    pairs, dropped = candidate_pairs(bands, cfg)
+    n_dropped = dropped.agg(
+        F.coalesce(F.sum(F.col("bucket_size") * (F.col("bucket_size") - 1) / 2), F.lit(0))
+    ).collect()[0][0]
+    _metric("lsh", t0, dropped_candidates=int(n_dropped))
+
+    t0 = time.time()
+    ver = verified_pairs(pairs, sigs, cfg)
+    _metric("verify", t0)
+
+    t0 = time.time()
+    edges = exact_pairs.unionByName(ver.select("key_a", "key_b"))
+    comps = connected_components(edges)
+    clusters = attach_singletons(comps, keyed)
+    _metric("cluster", t0)
+
+    if warehouse is not None:
+        warehouse.write(clusters, "clusters", cfg_hash)
+        clusters = warehouse.read("clusters")
+    sigs.unpersist()
+    return clusters

@@ -1,0 +1,70 @@
+"""SimHash utilities: Hamming-radius candidate pairing.
+
+SimHash fingerprints are computed in the signature stage (minhash.py) from the
+same shingle stream. This module adds the SimHash-side candidate generator:
+split the 64-bit fingerprint into (max_hamming + 1) blocks — two fingerprints
+within Hamming distance h must agree exactly on at least one block
+(pigeonhole), so an equi-join per block finds all candidates. Pure built-in
+expressions, JVM-side; the final Hamming filter is `bit_count(a ^ b)`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dedup.config import DedupConfig
+
+
+def simhash_blocks(sig_df: DataFrame, n_blocks: int) -> DataFrame:
+    """Explode each fingerprint into (doc_key, block_id, block_val)."""
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("block_id"),
+                F.shiftrightunsigned(F.col("simhash"), i * width)
+                .bitwiseAND(F.lit(mask))
+                .alias("block_val"),
+            )
+            for i in range(n_blocks)
+        ]
+    )
+    return (
+        sig_df.select("doc_key", "simhash", F.explode(blocks).alias("b"))
+        .select("doc_key", "simhash", "b.block_id", "b.block_val")
+    )
+
+
+def simhash_candidate_pairs(sig_df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """All pairs with Hamming(simhash_a, simhash_b) <= cfg.simhash_max_hamming.
+
+    Pigeonhole over max_hamming+1 blocks guarantees completeness; block
+    equi-join is a plain shuffled join Catalyst/AQE handles (skew-split).
+    """
+    n_blocks = cfg.simhash_max_hamming + 1
+    blocks = simhash_blocks(sig_df, n_blocks)
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.block_id") == F.col("b.block_id"),
+                F.col("a.block_val") == F.col("b.block_val"),
+                F.col("a.doc_key") < F.col("b.doc_key"),
+            ],
+        )
+        .select(
+            F.col("a.doc_key").alias("key_a"),
+            F.col("b.doc_key").alias("key_b"),
+            F.col("a.simhash").alias("simhash_a"),
+            F.col("b.simhash").alias("simhash_b"),
+        )
+        .distinct()
+    )
+    return pairs.withColumn(
+        "hamming",
+        F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b"))),
+    ).where(F.col("hamming") <= cfg.simhash_max_hamming).select("key_a", "key_b", "hamming")

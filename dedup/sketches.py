@@ -286,24 +286,34 @@ _SIGBLOCK_HEADER = struct.Struct("<IBBBxiiq")  # magic, ver, family, flags, num_
 
 @dataclass
 class SignatureBlock:
-    """Per-partition signature-matrix state: (doc_key, signature) rows held as
-    one compact block — the checkpointable unit of the signatures stage.
+    """Per-partition signature-matrix state: one compact block of
+    (doc_key, content_sha, minhash row, simhash, n_shingles) rows — the
+    checkpointable unit of the signatures stage. The signatures table can be
+    reconstructed entirely from these blocks (resume-from-checkpoint, M4).
 
     Compact serialization stores only used rows (the reference's
     toCompactByteArray discipline, matrix/MatrixImplOjAlgo.java:136-175):
-    header + key-lengths + utf8 keys + row-major uint64 signature matrix.
-    merge = concat + last-writer-wins dedupe by key, associative up to the
-    canonical sort applied before emit.
+    header + key-length table + utf8 keys + raw 32-byte sha digests +
+    simhash vector + n_shingles vector + row-major uint64 signature matrix.
+    merge = concat + first-writer-wins dedupe by key after canonical sort,
+    so merge output is independent of merge order (SURVEY §2.3-1).
     """
 
     num_perm: int = 128
     seed: int = 42
     keys: list = field(default_factory=list)
+    shas: list = field(default_factory=list)
     sigs: np.ndarray = field(default=None)  # type: ignore[assignment]
+    sims: np.ndarray = field(default=None)  # type: ignore[assignment]
+    n_shingles: np.ndarray = field(default=None)  # type: ignore[assignment]
 
     def __post_init__(self) -> None:
         if self.sigs is None:
             self.sigs = np.empty((0, self.num_perm), dtype=np.uint64)
+        if self.sims is None:
+            self.sims = np.empty(0, dtype=np.uint64)
+        if self.n_shingles is None:
+            self.n_shingles = np.empty(0, dtype=np.int32)
 
     @property
     def n(self) -> int:
@@ -313,37 +323,52 @@ class SignatureBlock:
     def is_empty(self) -> bool:
         return self.n == 0
 
-    def update(self, keys: list, sig_matrix: np.ndarray) -> None:
+    def update(
+        self,
+        keys: list,
+        shas: list,
+        sig_matrix: np.ndarray,
+        sims: np.ndarray,
+        n_shingles: np.ndarray,
+    ) -> None:
         if keys is None or len(keys) == 0:
             return
         if sig_matrix.shape != (len(keys), self.num_perm):
             raise ValueError(
                 f"shape {sig_matrix.shape} != ({len(keys)},{self.num_perm})"
             )
+        if len(shas) != len(keys) or len(sims) != len(keys) or len(n_shingles) != len(keys):
+            raise ValueError("row-count mismatch across signature columns")
         self.keys.extend(keys)
+        self.shas.extend(shas)
         self.sigs = np.vstack([self.sigs, sig_matrix.astype(np.uint64)])
+        self.sims = np.concatenate([self.sims, np.asarray(sims, dtype=np.uint64)])
+        self.n_shingles = np.concatenate(
+            [self.n_shingles, np.asarray(n_shingles, dtype=np.int32)]
+        )
 
     def merge(self, other: "SignatureBlock") -> None:
         if other is None or other.is_empty:
             return
         if other.num_perm != self.num_perm or other.seed != self.seed:
             raise ValueError("incompatible signature blocks")
-        self.update(other.keys, other.sigs)
+        self.update(other.keys, other.shas, other.sigs, other.sims, other.n_shingles)
         self._canonicalize()
 
     def _canonicalize(self) -> None:
-        """Sort by key and keep the first occurrence — makes merge output
-        independent of merge order (SURVEY §2.3-1: order-insensitive within
-        guarantees)."""
         if self.n == 0:
             return
         keys = np.asarray(self.keys, dtype=object)
         order = np.argsort(keys, kind="stable")
-        keys, sigs = keys[order], self.sigs[order]
-        keep = np.ones(len(keys), dtype=bool)
-        keep[1:] = keys[1:] != keys[:-1]
-        self.keys = list(keys[keep])
-        self.sigs = sigs[keep]
+        keep_sorted = np.ones(len(keys), dtype=bool)
+        ks = keys[order]
+        keep_sorted[1:] = ks[1:] != ks[:-1]
+        sel = order[keep_sorted]
+        self.keys = list(keys[sel])
+        self.shas = list(np.asarray(self.shas, dtype=object)[sel])
+        self.sigs = self.sigs[sel]
+        self.sims = self.sims[sel]
+        self.n_shingles = self.n_shingles[sel]
 
     def to_bytes(self) -> bytes:
         flags = FLAG_EMPTY if self.is_empty else 0
@@ -355,7 +380,16 @@ class SignatureBlock:
             return head
         key_bytes = [k.encode("utf-8") for k in self.keys]
         lens = np.array([len(b) for b in key_bytes], dtype=np.int32)
-        return head + lens.tobytes() + b"".join(key_bytes) + self.sigs.tobytes()
+        sha_raw = b"".join(bytes.fromhex(s) for s in self.shas)
+        return (
+            head
+            + lens.tobytes()
+            + b"".join(key_bytes)
+            + sha_raw
+            + self.sims.tobytes()
+            + self.n_shingles.tobytes()
+            + self.sigs.tobytes()
+        )
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "SignatureBlock":
@@ -377,14 +411,20 @@ class SignatureBlock:
         lens = np.frombuffer(buf, dtype=np.int32, count=n, offset=off)
         off += 4 * n
         total_key = int(lens.sum())
-        need = off + total_key + n * num_perm * 8
+        need = off + total_key + 32 * n + 8 * n + 4 * n + n * num_perm * 8
         if len(buf) < need:
             raise SketchCorruptionError(f"truncated payload: {len(buf)} < {need}")
         keys, pos = [], off
         for ln in lens:
             keys.append(buf[pos : pos + ln].decode("utf-8"))
             pos += int(ln)
+        shas = [buf[pos + 32 * i : pos + 32 * (i + 1)].hex() for i in range(n)]
+        pos += 32 * n
+        sims = np.frombuffer(buf, dtype=np.uint64, count=n, offset=pos).copy()
+        pos += 8 * n
+        nsh = np.frombuffer(buf, dtype=np.int32, count=n, offset=pos).copy()
+        pos += 4 * n
         sigs = np.frombuffer(buf, dtype=np.uint64, count=n * num_perm,
                              offset=pos).reshape(n, num_perm).copy()
-        blk.keys, blk.sigs = keys, sigs
+        blk.keys, blk.shas, blk.sigs, blk.sims, blk.n_shingles = keys, shas, sigs, sims, nsh
         return blk

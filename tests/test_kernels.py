@@ -215,20 +215,41 @@ class TestMinHashSketch:
 
 
 class TestSignatureBlock:
+    @staticmethod
+    def _rows(keys, seed):
+        rng = np.random.default_rng(seed)
+        n = len(keys)
+        return (
+            keys,
+            ["%064x" % rng.integers(0, 2**63) for _ in keys],
+            rng.integers(0, 2**63, size=(n, 128), dtype=np.uint64),
+            rng.integers(0, 2**63, size=n, dtype=np.uint64),
+            rng.integers(1, 500, size=n).astype(np.int32),
+        )
+
     def test_roundtrip_and_merge_dedupe(self):
-        rng = np.random.default_rng(3)
-        s1 = rng.integers(0, 2**63, size=(2, 128), dtype=np.uint64)
-        s2 = rng.integers(0, 2**63, size=(2, 128), dtype=np.uint64)
-        a = SignatureBlock(); a.update(["k1", "k2"], s1)
-        b = SignatureBlock(); b.update(["k2", "k3"], s2)
+        a = SignatureBlock(); a.update(*self._rows(["k1", "k2"], 3))
+        b = SignatureBlock(); b.update(*self._rows(["k2", "k3"], 4))
         a.merge(b)
         assert a.keys == ["k1", "k2", "k3"]  # canonical sort, first wins
         back = SignatureBlock.from_bytes(a.to_bytes())
-        assert back.keys == a.keys and np.array_equal(back.sigs, a.sigs)
+        assert back.keys == a.keys and back.shas == a.shas
+        assert np.array_equal(back.sigs, a.sigs)
+        assert np.array_equal(back.sims, a.sims)
+        assert np.array_equal(back.n_shingles, a.n_shingles)
         assert SignatureBlock.from_bytes(SignatureBlock().to_bytes()).is_empty
 
+    def test_merge_order_insensitive(self):
+        p1, p2, p3 = (self._rows([k], i) for i, k in enumerate(["a", "b", "c"]))
+        m1, m2 = SignatureBlock(), SignatureBlock()
+        for rows in (p1, p2, p3):
+            blk = SignatureBlock(); blk.update(*rows); m1.merge(blk)
+        for rows in (p3, p1, p2):
+            blk = SignatureBlock(); blk.update(*rows); m2.merge(blk)
+        assert m1.to_bytes() == m2.to_bytes()
+
     def test_corruption(self):
-        a = SignatureBlock(); a.update(["x"], np.ones((1, 128), dtype=np.uint64))
+        a = SignatureBlock(); a.update(*self._rows(["x"], 5))
         buf = a.to_bytes()
         with pytest.raises(SketchCorruptionError):
             SignatureBlock.from_bytes(buf[:-4])

@@ -1,0 +1,134 @@
+"""End-to-end pipeline tests: Spark pipeline vs single-node numpy reference
+on the planted-duplicate fixture corpus (FIXTURES.md F1, SURVEY §5 transfer
+items (a)(d)) — recall >= 0.99 and identical canonical cluster IDs are the
+north-rule acceptance criteria."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dedup.cluster import connected_components, numpy_connected_components
+from dedup.config import DedupConfig
+from dedup.fixtures import make_corpus
+from dedup.lsh import candidate_pairs
+from dedup.minhash import compute_bands, compute_signatures
+from dedup.pipeline import exact_stage, key_docs, run_dedup
+from dedup.reference_impl import reference_pipeline
+from dedup.verify import verified_pairs
+
+CFG = DedupConfig()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    pdf, truth = make_corpus(n_base=60, seed=42)
+    return spark.createDataFrame(pdf).repartition(6), pdf, truth
+
+
+@pytest.fixture(scope="module")
+def ref(corpus):
+    _, pdf, _ = corpus
+    return reference_pipeline(pdf, CFG)
+
+
+class TestSignatureParity:
+    def test_spark_signatures_match_numpy(self, spark, corpus, ref):
+        df, pdf, _ = corpus
+        keyed = key_docs(df)
+        rep_docs, _ = exact_stage(keyed)
+        sigs = compute_signatures(rep_docs, CFG).collect()
+        got = {r["doc_key"]: r for r in sigs}
+        ref_sig = {
+            k: ref["signatures"][i] for i, k in enumerate(ref["rep_keys"])
+        }
+        ref_sim = {k: ref["simhash"][i] for i, k in enumerate(ref["rep_keys"])}
+        assert set(got) == set(ref_sig)
+        for k, row in got.items():
+            assert np.array_equal(
+                np.array(row["minhash"], dtype=np.int64).view(np.uint64), ref_sig[k]
+            ), f"minhash mismatch for {k}"
+            assert np.int64(row["simhash"]).view(np.uint64) == ref_sim[k]
+
+    def test_sha_invariant(self, spark, corpus, ref):
+        """Per-row invariant: sha256(content) equality vs reference
+        (BASELINE.json input_hint)."""
+        df, pdf, _ = corpus
+        got = key_docs(df).select("doc_key", "content_sha").collect()
+        want = dict(zip(ref["doc_keys"], ref["content_sha"]))
+        assert len(got) == len(want)
+        for r in got:
+            assert want[r["doc_key"]] == r["content_sha"]
+
+
+class TestCandidatesAndVerify:
+    def test_pair_recall_vs_reference(self, spark, corpus, ref):
+        df, _, _ = corpus
+        keyed = key_docs(df)
+        rep_docs, _ = exact_stage(keyed)
+        sigs = compute_signatures(rep_docs, CFG)
+        bands = compute_bands(sigs, CFG)
+        pairs, dropped = candidate_pairs(bands, CFG)
+        got = {(r["key_a"], r["key_b"]) for r in pairs.collect()}
+        want = ref["candidate_pairs"]
+        missing = want - got
+        recall = 1 - len(missing) / max(len(want), 1)
+        assert recall >= 0.99, f"candidate recall {recall}: missing {missing}"
+        assert got == want  # identical kernels → identical candidate sets
+
+        ver = verified_pairs(pairs, sigs, CFG).collect()
+        got_v = {(r["key_a"], r["key_b"]): r["est_jaccard"] for r in ver}
+        assert set(got_v) == set(ref["verified_pairs"])
+        for k, v in got_v.items():
+            assert abs(v - ref["verified_pairs"][k]) < 1e-9
+
+    def test_truth_recall(self, spark, corpus, ref):
+        """Pairs planted with exact Jaccard >= 0.9 must essentially all be
+        recovered (16x8 banding S-curve at s=0.9 → P(miss) ~ 1e-4)."""
+        _, _, truth = corpus
+        verified = set(ref["verified_pairs"]) | ref["exact_pairs"]
+        # exact pairs: key order is canonical min-first already
+        strong = truth[
+            (truth["jaccard_exact"] >= 0.9) & (truth["kind"] != "substring")
+        ]
+        found = sum(
+            1 for _, r in strong.iterrows()
+            if (r["key_a"], r["key_b"]) in verified
+            or _connected(ref["clusters"], r["key_a"], r["key_b"])
+        )
+        assert found / max(len(strong), 1) >= 0.99
+
+
+def _connected(clusters: dict, a: str, b: str) -> bool:
+    return clusters.get(a) == clusters.get(b)
+
+
+class TestClustering:
+    def test_star_contraction_matches_numpy_union_find(self, spark):
+        rng = np.random.default_rng(11)
+        # random graph + long chain (worst case for min-propagation)
+        edges = [(f"n{int(a)}", f"n{int(b)}")
+                 for a, b in rng.integers(0, 200, size=(150, 2)) if a != b]
+        edges += [(f"c{i}", f"c{i+1}") for i in range(60)]
+        df = spark.createDataFrame(pd.DataFrame(edges, columns=["key_a", "key_b"]))
+        got = {
+            r["doc_key"]: r["cluster_id"]
+            for r in connected_components(df).collect()
+        }
+        want = numpy_connected_components(edges)
+        assert got == want
+
+    def test_end_to_end_clusters_match_reference(self, spark, corpus, ref):
+        df, _, _ = corpus
+        clusters = run_dedup(spark, df, CFG)
+        got = {r["doc_key"]: r["cluster_id"] for r in clusters.collect()}
+        assert got == ref["clusters"]
+
+    def test_transitive_chain_clustered(self, spark, corpus, ref):
+        """A≈B≈C with sim(A,C) below threshold still one cluster."""
+        _, _, truth = corpus
+        near = truth[truth["kind"] == "near"]
+        chains = near[near["key_a"].isin(near["key_b"])]
+        if len(chains):
+            r = chains.iloc[0]
+            assert ref["clusters"][r["key_a"]] == ref["clusters"][r["key_b"]]
