@@ -1,0 +1,462 @@
+"""Driver-contract query registry: every implemented operator as a
+(spark, sf_dir) -> DataFrame callable, with an ANSI-SQL DuckDB oracle where
+the semantics are SQL-expressible (driver correctness gate — see
+/root/repo/__spark_entry__.py docstring).
+
+Column names are aliased IDENTICALLY in the Spark plan and the oracle SQL;
+float results are rounded in both engines; money sums go through exact
+DECIMAL(18,2) accumulation in both engines and only then to double, so the
+value hashes match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dedup.ann import brute_force_topk, lsh_topk
+from dedup.config import DedupConfig
+from dedup.lsh import bucket_sizes, candidate_pairs
+from dedup.minhash import compute_bands, compute_signatures, with_doc_key
+from dedup.pipeline import exact_stage, key_docs, run_dedup
+from dedup.simhash import simhash_candidate_pairs
+from dedup.sketches import MinHashSketch
+from dedup.textops import (
+    EN_MARKERS,
+    ES_MARKERS,
+    fingerprint_docs,
+    language_guess,
+    punct_count,
+    token_count,
+)
+from dedup.verify import verified_pairs
+
+CFG = DedupConfig()
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the driver's documents table onto the north-rule corpus shape."""
+    return _docs(spark, sf_dir).select(
+        F.lit("src").alias("repo"),
+        F.format_string("doc/%012d", "doc_id").alias("path"),
+        F.lit("head").alias("commit"),
+        "lang",
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
+    )
+
+
+_TXT = F.coalesce(F.col("text"), F.lit(""))
+
+# ---------------------------------------------------------------------------
+# Oracle-checked queries (DuckDB-parity SQL exists)
+# ---------------------------------------------------------------------------
+
+def q_exact_dup_groups(spark, sf_dir):
+    """Exact dedup: sha256 content grouping (dedup stage 1)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(F.sha2(_TXT, 256).alias("content_sha"))
+        .agg(F.count("*").alias("dup_count"))
+    )
+
+
+SQL_EXACT_DUP_GROUPS = """
+SELECT sha256(coalesce(text, '')) AS content_sha,
+       CAST(count(*) AS BIGINT)   AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    """Per-language token statistics (text analysis / quality)."""
+    d = _docs(spark, sf_dir).withColumn("n_tokens", token_count(F.col("text")))
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.col("n_tokens").cast("double")), 6).alias("avg_tokens"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+SQL_TOKEN_STATS = r"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(CAST(len(regexp_split_to_array(trim(coalesce(text,'')), '\s+')) AS DOUBLE)), 6) AS avg_tokens,
+       max(n_chars) AS max_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_doc_quality(spark, sf_dir):
+    """Per-document quality scores: token count, punctuation ratio."""
+    d = _docs(spark, sf_dir)
+    n_chars = F.length(_TXT)
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        punct_count(F.col("text")).cast("bigint").alias("punct_cnt"),
+        F.round(
+            punct_count(F.col("text")).cast("double")
+            / F.greatest(n_chars, F.lit(1)).cast("double"),
+            6,
+        ).alias("punct_ratio"),
+    )
+
+
+SQL_DOC_QUALITY = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(coalesce(text,'')), '\s+')) AS BIGINT) AS n_tokens,
+       CAST(length(regexp_replace(coalesce(text,''), '[^.,;:!?]', '', 'g')) AS BIGINT) AS punct_cnt,
+       round(CAST(length(regexp_replace(coalesce(text,''), '[^.,;:!?]', '', 'g')) AS DOUBLE)
+             / CAST(greatest(length(coalesce(text,'')), 1) AS DOUBLE), 6) AS punct_ratio
+FROM documents
+"""
+
+
+def q_language_guess(spark, sf_dir):
+    """Marker-stopword language ID heuristic, aggregated."""
+    d = _docs(spark, sf_dir).withColumn("guess", language_guess(_TXT))
+    return d.groupBy("guess").agg(F.count("*").alias("n_docs"))
+
+
+SQL_LANGUAGE_GUESS = rf"""
+SELECT CASE WHEN len(regexp_extract_all(coalesce(text,''), '{EN_MARKERS}'))
+         >= len(regexp_extract_all(coalesce(text,''), '{ES_MARKERS}'))
+       THEN 'en' ELSE 'es' END AS guess,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+_SPARK_SHINGLE_EXPR = r"""
+CASE WHEN size(split(trim(lower(coalesce(text,''))), '\\s+')) >= 5
+     THEN size(array_distinct(transform(
+            sequence(1, size(split(trim(lower(coalesce(text,''))), '\\s+')) - 4),
+            i -> concat_ws(' ', slice(split(trim(lower(coalesce(text,''))), '\\s+'), i, 5)))))
+     ELSE 1 END
+"""
+
+_DUCK_SHINGLE_EXPR = r"""
+CASE WHEN len(regexp_split_to_array(trim(lower(coalesce(text,''))), '\s+')) >= 5
+     THEN len(list_distinct([
+            array_to_string(regexp_split_to_array(trim(lower(coalesce(text,''))), '\s+')[i:i+4], ' ')
+            for i in range(1, len(regexp_split_to_array(trim(lower(coalesce(text,''))), '\s+')) - 3)]))
+     ELSE 1 END
+"""
+
+
+def q_token_shingles(spark, sf_dir):
+    """Distinct 5-token shingle count per doc — pure SQL on both sides."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.expr(_SPARK_SHINGLE_EXPR).cast("bigint").alias("n_shingles"),
+    )
+
+
+SQL_TOKEN_SHINGLES = f"""
+SELECT doc_id, CAST({_DUCK_SHINGLE_EXPR} AS BIGINT) AS n_shingles
+FROM documents
+"""
+
+
+def q_kernel_shingle_parity(spark, sf_dir):
+    """CROSS-CHECK: the numpy kernel's distinct-shingle count vs the SQL
+    oracle's definition — ties the vectorized kernel to a SQL-auditable
+    contract (hash collisions aside, which are ~1e-13 at this scale)."""
+    corpus = documents_as_corpus(spark, sf_dir)
+    keyed = key_docs(corpus)
+    sigs = compute_signatures(keyed, CFG)
+    # doc_key -> doc_id is recoverable from the path we synthesized
+    ids = keyed.select(
+        "doc_key", F.regexp_extract("path", r"doc/(\d+)", 1).cast("bigint").alias("doc_id")
+    )
+    return sigs.join(ids, "doc_key").select(
+        "doc_id", F.col("n_shingles").cast("bigint").alias("n_shingles")
+    )
+
+
+SQL_KERNEL_SHINGLE_PARITY = SQL_TOKEN_SHINGLES
+
+
+_SPARK_CHARGRAM = (
+    "array_distinct(transform(sequence(1, greatest(length({c}) - 4, 1)),"
+    " i -> substring({c}, i, 5)))"
+)
+_DUCK_CHARGRAM = (
+    "list_distinct([substring({c}, i, 5)"
+    " for i in range(1, greatest(length({c}) - 4, 1) + 1)])"
+)
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact character-5-gram Jaccard for consecutive doc pairs (even ids
+    < 200) — the exact-similarity verifier the near-dup estimate is audited
+    against."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_SPARK_CHARGRAM.format(c="coalesce(text, '')")).alias("sh")
+    )
+    a = d.where((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 200)).alias("a")
+    b = d.alias("b")
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("key_a"),
+            F.col("b.doc_id").alias("key_b"),
+            F.round(
+                F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+                / F.size(F.array_union("a.sh", "b.sh")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+SQL_NGRAM_JACCARD_PAIRS = f"""
+WITH sh AS (
+  SELECT doc_id, {_DUCK_CHARGRAM.format(c="coalesce(text, '')")} AS s FROM documents
+)
+SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+WHERE a.doc_id % 2 = 0 AND a.doc_id < 200
+"""
+
+
+def q_embedding_knn(spark, sf_dir):
+    """Exact cosine top-5 neighbors for query vectors (vec_id < 10) among
+    the rest — brute-force similarity-search baseline."""
+    e = _emb(spark, sf_dir)
+    return brute_force_topk(
+        e.where(F.col("vec_id") < 10), e.where(F.col("vec_id") >= 10), k=5
+    )
+
+
+SQL_EMBEDDING_KNN = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cos_raw,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+                    c.vec_id ASC) AS rank
+  FROM embeddings q, embeddings c
+  WHERE q.vec_id < 10 AND c.vec_id >= 10
+)
+SELECT query_id, neighbor_id, round(cos_raw, 4) AS cosine, CAST(rank AS INT) AS rank
+FROM scored WHERE rank <= 5
+"""
+
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1-style pricing summary — relational agg layer. DECIMAL-exact
+    sums in both engines, surfaced as double."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(price * disc).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(qty).cast("double") / F.count("*"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    """Revenue top-10: broadcast dim join + agg + deterministic top-k."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_CUSTOMERS = """
+SELECT c_custkey, c_name,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 10
+"""
+
+
+def q_events_window(spark, sf_dir):
+    """First 3 events per user by time — window-function layer."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("user_id", "event_id", "event_type", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+SQL_EVENTS_WINDOW = """
+SELECT user_id, event_id, event_type, CAST(rn AS INT) AS rn FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+def q_user_event_stats(spark, sf_dir):
+    """Per-user event aggregates incl. distinct count."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+
+
+SQL_USER_EVENT_STATS = """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (kernel semantics not expressible in ANSI SQL)
+# ---------------------------------------------------------------------------
+
+def q_minhash_bands(spark, sf_dir):
+    """LSH band table over the documents corpus (dedup stage 3)."""
+    keyed = key_docs(documents_as_corpus(spark, sf_dir))
+    rep_docs, _ = exact_stage(keyed)
+    return compute_bands(compute_signatures(rep_docs, CFG), CFG)
+
+
+def q_lsh_bucket_sizes(spark, sf_dir):
+    """Band-bucket size histogram (skew observability)."""
+    bands = q_minhash_bands(spark, sf_dir)
+    return bucket_sizes(bands).where(F.col("bucket_size") > 1)
+
+
+def q_candidate_pairs(spark, sf_dir):
+    """LSH candidate pairs (dedup stage 3 output)."""
+    keyed = key_docs(documents_as_corpus(spark, sf_dir))
+    rep_docs, _ = exact_stage(keyed)
+    sigs = compute_signatures(rep_docs, CFG)
+    pairs, _ = candidate_pairs(compute_bands(sigs, CFG), CFG)
+    return pairs
+
+
+def q_verified_pairs(spark, sf_dir):
+    """Signature-verified near-dup pairs (dedup stage 4 output)."""
+    keyed = key_docs(documents_as_corpus(spark, sf_dir))
+    rep_docs, _ = exact_stage(keyed)
+    sigs = compute_signatures(rep_docs, CFG)
+    pairs, _ = candidate_pairs(compute_bands(sigs, CFG), CFG)
+    return verified_pairs(pairs, sigs, CFG)
+
+
+def q_near_dup_clusters(spark, sf_dir):
+    """FLAGSHIP: full near-duplicate clustering of the corpus."""
+    return run_dedup(spark, documents_as_corpus(spark, sf_dir), CFG)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash Hamming-radius near-dup pairs (pigeonhole block join)."""
+    keyed = key_docs(documents_as_corpus(spark, sf_dir))
+    rep_docs, _ = exact_stage(keyed)
+    sigs = compute_signatures(rep_docs, CFG)
+    return simhash_candidate_pairs(sigs, CFG)
+
+
+def q_doc_fingerprints(spark, sf_dir):
+    """Winnowing-style rolling-hash fingerprints."""
+    keyed = key_docs(documents_as_corpus(spark, sf_dir))
+    return fingerprint_docs(keyed)
+
+
+def q_embedding_ann_lsh(spark, sf_dir):
+    """Approximate top-5 via random-hyperplane LSH (the 100-TB path)."""
+    e = _emb(spark, sf_dir)
+    return lsh_topk(
+        e.where(F.col("vec_id") < 10), e.where(F.col("vec_id") >= 10), k=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "exact_dup_groups": q_exact_dup_groups,
+    "token_stats": q_token_stats,
+    "doc_quality": q_doc_quality,
+    "language_guess": q_language_guess,
+    "token_shingles": q_token_shingles,
+    "kernel_shingle_parity": q_kernel_shingle_parity,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "embedding_knn": q_embedding_knn,
+    "tpch_q1": q_tpch_q1,
+    "top_customers": q_top_customers,
+    "events_window": q_events_window,
+    "user_event_stats": q_user_event_stats,
+    # rows-only
+    "minhash_bands": q_minhash_bands,
+    "lsh_bucket_sizes": q_lsh_bucket_sizes,
+    "candidate_pairs": q_candidate_pairs,
+    "verified_pairs": q_verified_pairs,
+    "near_dup_clusters": q_near_dup_clusters,
+    "simhash_pairs": q_simhash_pairs,
+    "doc_fingerprints": q_doc_fingerprints,
+    "embedding_ann_lsh": q_embedding_ann_lsh,
+}
+
+ORACLES = {
+    "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
+    "token_stats": SQL_TOKEN_STATS,
+    "doc_quality": SQL_DOC_QUALITY,
+    "language_guess": SQL_LANGUAGE_GUESS,
+    "token_shingles": SQL_TOKEN_SHINGLES,
+    "kernel_shingle_parity": SQL_KERNEL_SHINGLE_PARITY,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "embedding_knn": SQL_EMBEDDING_KNN,
+    "tpch_q1": SQL_TPCH_Q1,
+    "top_customers": SQL_TOP_CUSTOMERS,
+    "events_window": SQL_EVENTS_WINDOW,
+    "user_event_stats": SQL_USER_EVENT_STATS,
+}
