@@ -1,0 +1,118 @@
+"""Scaling-efficiency bench: the same MinHash+LSH job at two parallelism
+levels (local[N] vs local[4N]) on the same input — the sandbox evidence for
+the north rule's "throughput scaling efficiency >= 0.8 between N and 4N
+executors" (no real cluster available; BASELINE.md documents the protocol).
+
+Generates a deterministic synthetic corpus once (fixtures.CorpusBuilder,
+seeded), then forks one subprocess per parallelism level so each run gets a
+fresh JVM with exactly local[N]. Reports files/sec at both levels plus
+efficiency = (throughput_4N / throughput_N) / 4 into BENCH/BASELINE.md.
+
+Usage: python bench/scaling.py [--docs 60000] [--n 8] [--out BENCH/BASELINE.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CORPUS_PATH = "/tmp/dedup_bench_corpus"
+
+_RUNNER = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from dedup.session import get_spark
+from dedup.config import DedupConfig
+from dedup.pipeline import key_docs, exact_stage
+from dedup.minhash import compute_signatures, compute_bands
+from dedup.lsh import candidate_pairs
+
+cores = int(sys.argv[1])
+spark = get_spark("scalebench", master=f"local[{{cores}}]",
+                  shuffle_partitions=max(2 * cores, 8))
+df = spark.read.parquet({corpus!r})
+n_files = df.count()
+t0 = time.time()
+keyed = key_docs(df)
+rep_docs, _ = exact_stage(keyed)
+sigs = compute_signatures(rep_docs, DedupConfig())
+bands = compute_bands(sigs, DedupConfig())
+pairs, dropped = candidate_pairs(bands, DedupConfig())
+n_pairs = pairs.count()
+wall = time.time() - t0
+print(json.dumps(dict(cores=cores, n_files=n_files, n_pairs=n_pairs,
+                      wall=round(wall, 2),
+                      files_per_sec=round(n_files / wall, 1))))
+spark.stop()
+"""
+
+
+def ensure_corpus(n_docs: int) -> None:
+    marker = os.path.join(CORPUS_PATH, f"_ok_{n_docs}")
+    if os.path.exists(marker):
+        return
+    print(f"generating {n_docs}-doc corpus at {CORPUS_PATH} ...", file=sys.stderr)
+    from dedup.fixtures import make_corpus_fast
+    from dedup.session import get_spark
+
+    pdf = make_corpus_fast(n_docs=n_docs, seed=42)
+    spark = get_spark("gen", master="local[*]")
+    spark.createDataFrame(pdf).repartition(64).write.mode("overwrite").parquet(
+        CORPUS_PATH
+    )
+    spark.stop()
+    open(marker, "w").close()
+
+
+def run_level(cores: int) -> dict:
+    script = _RUNNER.format(repo=REPO, corpus=CORPUS_PATH)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cores)],
+        capture_output=True, text=True, timeout=3600,
+    )
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"bench run failed:\n{out.stderr[-2000:]}")
+    return json.loads(lines[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=60000)
+    ap.add_argument("--n", type=int, default=8, help="base parallelism N (4N must be <= cores)")
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
+    args = ap.parse_args()
+
+    ensure_corpus(args.docs)
+    lo = run_level(args.n)
+    hi = run_level(args.n * 4)
+    eff = (hi["files_per_sec"] / lo["files_per_sec"]) / 4
+    result = dict(n=lo, n4=hi, scaling_efficiency=round(eff, 3))
+    print(json.dumps(result))
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        f.write(
+            "# BENCH — MinHash+LSH throughput scaling (sandbox protocol)\n\n"
+            "Same job (key → exact-fold → signatures → bands → candidate pairs),\n"
+            "same deterministic input, two parallelism levels in fresh JVMs.\n"
+            "Sandbox stand-in for N vs 4N executors (no real cluster here).\n\n"
+            "| Run | Parallelism | Input rows | Wall (s) | files/sec | Scaling efficiency |\n"
+            "|---|---|---|---|---|---|\n"
+            f"| bench-N | local[{lo['cores']}] | {lo['n_files']} | {lo['wall']} | {lo['files_per_sec']} | — |\n"
+            f"| bench-4N | local[{hi['cores']}] | {hi['n_files']} | {hi['wall']} | {hi['files_per_sec']} | {result['scaling_efficiency']} (target ≥ 0.8) |\n\n"
+            f"candidate pairs found: N={lo['n_pairs']}, 4N={hi['n_pairs']} (must be equal)\n\n"
+            f"raw: `{json.dumps(result)}`\n"
+        )
+    print(f"wrote {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

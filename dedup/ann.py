@@ -108,6 +108,87 @@ def hyperplane_buckets(
     )
 
 
+def ivf_topk(
+    queries: DataFrame, candidates: DataFrame, k: int = 5,
+    n_centroids: int = 32, nprobe: int = 8, seed: int = 42,
+    sample_rows: int = 20000,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer; each query scores only
+    the `nprobe` nearest centroid cells.
+
+    At scale: centroids are trained on a bounded driver-side sample and shipped
+    in the UDF closure (tiny); the candidate table is shuffled ONCE on
+    centroid_id, queries explode to nprobe rows — the join replaces the cross
+    join, so cost is |C|·nprobe/n_centroids per query instead of |C|.
+    Recall/cost is tuned by nprobe (nprobe = n_centroids degenerates to exact).
+    """
+    import numpy as np
+
+    sample = np.vstack(
+        [r[0] for r in candidates.select(vec_col).limit(sample_rows).collect()]
+    ).astype(np.float64)
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)),
+                             replace=False)]
+    for _ in range(10):  # spherical k-means
+        assign = np.argmax(sample @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = sample[assign == c]
+            if len(m):
+                v = m.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    centroids = cent  # (n_centroids, dim) — closure-shipped
+
+    def assign_cells(nearest: int):
+        def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+                m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+                sims = m @ centroids.T
+                top = np.argsort(-sims, axis=1)[:, :nearest]
+                yield pd.DataFrame(
+                    {
+                        "vec_id": np.repeat(pdf[id_col].to_numpy(), nearest),
+                        "cell": top.reshape(-1).astype(np.int32),
+                    }
+                )
+        return go
+
+    cell_schema = StructType(
+        [StructField("vec_id", LongType(), False),
+         StructField("cell", IntegerType(), False)]
+    )
+    c_cells = candidates.select(F.col(id_col).alias("vec_id"), vec_col).mapInPandas(
+        assign_cells(1), cell_schema
+    )
+    q_cells = queries.select(F.col(id_col).alias("vec_id"), vec_col).mapInPandas(
+        assign_cells(nprobe), cell_schema
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
+    ).join(q_cells.withColumnRenamed("vec_id", "query_id"), "query_id")
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
+    ).join(c_cells.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    scored = q.join(c, "cell").withColumn(
+        "cos_raw", _cosine(F.col("qv"), F.col("cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_raw"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.round("cos_raw", 4).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def lsh_topk(
     queries: DataFrame, candidates: DataFrame, k: int = 5,
     n_bits: int = 12, dim: int = 64, seed: int = 42, multiprobe: bool = True,

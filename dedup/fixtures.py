@@ -147,3 +147,63 @@ class CorpusBuilder:
 
 def make_corpus(n_base: int = 120, seed: int = 42) -> tuple[pd.DataFrame, pd.DataFrame]:
     return CorpusBuilder(seed).build(n_base)
+
+
+def make_corpus_fast(n_docs: int = 60000, seed: int = 42) -> pd.DataFrame:
+    """Bulk vectorized corpus for throughput benchmarks (no truth tables).
+
+    ~70% unique base docs, ~10% exact dups, ~20% near dups (5% of tokens
+    mutated), one giant repo holding ~30% of rows. Deterministic from seed.
+    """
+    rng = np.random.default_rng(seed)
+    vocab = np.array(
+        _KEYWORDS + [f"ident_{i}" for i in range(800)] + [f"val_{i}" for i in range(200)],
+        dtype=object,
+    )
+    n_base = int(n_docs * 0.7)
+    n_exact = int(n_docs * 0.1)
+    n_near = n_docs - n_base - n_exact
+
+    lens = rng.integers(100, 400, size=n_base)
+    total = int(lens.sum())
+    tok_idx = rng.integers(0, len(vocab), size=total)
+    offsets = np.zeros(n_base + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    toks = vocab[tok_idx]
+    base = [
+        " ".join(toks[offsets[i] : offsets[i + 1]]) for i in range(n_base)
+    ]
+
+    exact_src = rng.integers(0, n_base, size=n_exact)
+    exact = [base[j] for j in exact_src]
+
+    near_src = rng.integers(0, n_base, size=n_near)
+    near = []
+    for j in near_src:
+        a, b = offsets[j], offsets[j + 1]
+        t = toks[a:b].copy()
+        n_mut = max(1, int(len(t) * 0.05))
+        pos = rng.integers(0, len(t), size=n_mut)
+        t[pos] = vocab[rng.integers(0, len(vocab), size=n_mut)]
+        near.append(" ".join(t))
+
+    contents = base + exact + near
+    n = len(contents)
+    giant = rng.random(n) < 0.3
+    repos = np.where(
+        giant,
+        "org0/giant",
+        np.char.add("org1/repo", (np.arange(n) % 97).astype(str)),
+    )
+    langs = np.array(["python", "java", "c", "go", "js"], dtype=object)[
+        np.arange(n) % 5
+    ]
+    return pd.DataFrame(
+        {
+            "repo": repos,
+            "path": [f"src/mod{i % 13}/file{i}.x" for i in range(n)],
+            "commit": [f"{seed:08x}{i:032x}" for i in range(n)],
+            "lang": langs,
+            "content": contents,
+        }
+    )

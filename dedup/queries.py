@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dedup.ann import brute_force_topk, lsh_topk
+from dedup.ann import brute_force_topk, ivf_topk, lsh_topk
 from dedup.config import DedupConfig
 from dedup.lsh import bucket_sizes, candidate_pairs
 from dedup.minhash import compute_bands, compute_signatures, with_doc_key
@@ -411,11 +411,34 @@ def q_doc_fingerprints(spark, sf_dir):
 
 
 def q_embedding_ann_lsh(spark, sf_dir):
-    """Approximate top-5 via random-hyperplane LSH (the 100-TB path)."""
+    """Approximate top-5 via random-hyperplane LSH (recall-limited on the
+    near-random driver embeddings; structural scale path)."""
     e = _emb(spark, sf_dir)
     return lsh_topk(
         e.where(F.col("vec_id") < 10), e.where(F.col("vec_id") >= 10), k=5
     )
+
+
+def q_embedding_ann_ivf(spark, sf_dir):
+    """Approximate top-5 via IVF (k-means cells, nprobe=16) — the primary
+    100-TB similarity-search path: one shuffle on cell id replaces the
+    cross join."""
+    e = _emb(spark, sf_dir)
+    return ivf_topk(
+        e.where(F.col("vec_id") < 10), e.where(F.col("vec_id") >= 10),
+        k=5, n_centroids=32, nprobe=16,
+    )
+
+
+def q_substring_pairs(spark, sf_dir):
+    """Exact long-substring duplicates (suffix-array pass) over documents."""
+    from dedup.suffix import substring_pairs
+
+    keyed = key_docs(documents_as_corpus(spark, sf_dir))
+    # driver docs are short (~300 chars); lower the block threshold so the
+    # operator is exercised at this scale
+    cfg = DedupConfig(substring_min_len=64)
+    return substring_pairs(keyed, cfg)
 
 
 # ---------------------------------------------------------------------------
@@ -444,6 +467,8 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "doc_fingerprints": q_doc_fingerprints,
     "embedding_ann_lsh": q_embedding_ann_lsh,
+    "embedding_ann_ivf": q_embedding_ann_ivf,
+    "substring_pairs": q_substring_pairs,
 }
 
 ORACLES = {

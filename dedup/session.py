@@ -18,9 +18,13 @@ def get_spark(
     master = master or os.environ.get("SPARK_MASTER", "local[*]")
     cores = _parallelism(master)
     shuffle_partitions = shuffle_partitions or max(2 * cores, 8)
+    # in local mode the driver JVM hosts all executor threads — the 1g default
+    # heap causes GC collapse at high parallelism; scale heap with cores
+    mem = os.environ.get("SPARK_DRIVER_MEM", f"{max(4, cores)}g")
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.driver.memory", mem)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
