@@ -42,12 +42,18 @@ n_files = df.count()
 t0 = time.time()
 keyed = key_docs(df)
 rep_docs, _ = exact_stage(keyed)
-sigs = compute_signatures(rep_docs, DedupConfig())
+sigs = compute_signatures(rep_docs, DedupConfig()).persist()
+n_sigs = sigs.count()
+t_sig = time.time()
 bands = compute_bands(sigs, DedupConfig())
 pairs, dropped = candidate_pairs(bands, DedupConfig())
 n_pairs = pairs.count()
-wall = time.time() - t0
-print(json.dumps(dict(cores=cores, n_files=n_files, n_pairs=n_pairs,
+t_end = time.time()
+wall = t_end - t0
+print(json.dumps(dict(cores=cores, n_files=n_files, n_sigs=n_sigs,
+                      n_pairs=n_pairs,
+                      sig_sec=round(t_sig - t0, 2),
+                      pair_sec=round(t_end - t_sig, 2),
                       wall=round(wall, 2),
                       files_per_sec=round(n_files / wall, 1))))
 spark.stop()

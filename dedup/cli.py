@@ -1,0 +1,57 @@
+"""spark-submit entrypoint: run the dedup pipeline over a corpus table.
+
+    spark-submit --py-files dedup.zip dedup/cli.py \
+        --input /path/to/corpus_parquet --output /path/to/warehouse \
+        [--resume] [--shingle-k 5] [--num-perm 128] [--bands 16] [--rows 8]
+
+Reads (repo, path, commit, lang, content) rows, writes `clusters`
+(doc_key, cluster_id) plus checkpoint/metrics/lineage tables under --output.
+Re-running with --output pointing at a previous (possibly killed) run resumes
+from the signature checkpoints automatically.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="corpus parquet/iceberg path")
+    ap.add_argument("--output", required=True, help="warehouse directory")
+    ap.add_argument("--shingle-k", type=int, default=5)
+    ap.add_argument("--num-perm", type=int, default=128)
+    ap.add_argument("--bands", type=int, default=16)
+    ap.add_argument("--rows", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--jaccard-threshold", type=float, default=0.7)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args(argv)
+
+    from dedup.config import DedupConfig
+    from dedup.pipeline import run_dedup
+    from dedup.session import get_spark
+    from dedup.warehouse import Warehouse
+
+    cfg = DedupConfig(
+        shingle_k=args.shingle_k,
+        num_perm=args.num_perm,
+        bands=args.bands,
+        rows_per_band=args.rows,
+        seed=args.seed,
+        jaccard_threshold=args.jaccard_threshold,
+    )
+    spark = get_spark("dedup-cli", master=args.master)
+    df = spark.read.parquet(args.input)
+    wh = Warehouse(spark, args.output)
+    clusters = run_dedup(spark, df, cfg, warehouse=wh)
+    n = clusters.count()
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    print(f"docs={n} clusters={n_clusters} warehouse={args.output}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

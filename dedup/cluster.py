@@ -37,14 +37,16 @@ def connected_components(
         .distinct()
     )
     e = e.localCheckpoint(eager=True)
+    prev_sig = _edge_sig(e)
 
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e))
         e2 = e2.localCheckpoint(eager=True)
-        if _same_edges(e, e2):
-            e = e2
-            break
+        sig = _edge_sig(e2)
         e = e2
+        if sig == prev_sig:
+            break
+        prev_sig = sig
 
     # converged: every edge is (child, root). Roots label themselves.
     children = e.select(F.col("u").alias("doc_key"), F.col("v").alias("cluster_id"))
@@ -94,19 +96,15 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
-def _same_edges(a: DataFrame, b: DataFrame) -> bool:
-    """Cheap fixpoint test: order-insensitive checksum + count."""
-
-    def sig(df: DataFrame):
-        # bit_xor is order-insensitive and cannot overflow (edges are distinct
-        # so no self-cancellation)
-        r = df.agg(
-            F.count("*").alias("c"),
-            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
-        ).collect()[0]
-        return (r["c"], r["h"])
-
-    return sig(a) == sig(b)
+def _edge_sig(df: DataFrame) -> tuple:
+    """Order-insensitive edge-set checksum for the fixpoint test; bit_xor
+    cannot overflow (edges are distinct so no self-cancellation). One job per
+    iteration — the signature of the previous edge set is carried forward."""
+    r = df.agg(
+        F.count("*").alias("c"),
+        F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+    ).collect()[0]
+    return (r["c"], r["h"])
 
 
 def attach_singletons(clusters: DataFrame, all_docs: DataFrame,

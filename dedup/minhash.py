@@ -64,12 +64,21 @@ def compute_signatures(
     key_col: str = "doc_key",
     content_col: str = "content",
     sha_col: str = "content_sha",
+    repartition: int | str | None = "auto",
 ) -> DataFrame:
     """(key, sha, content) → SIGNATURE_SCHEMA rows via one mapInPandas pass.
 
     Column pruning: only the three needed columns reach the Python worker —
     select first so the Arrow transfer never ships anything else (SURVEY §4:
     only `content` reaches the shingler).
+
+    repartition="auto" hash-partitions by doc_key to 2x the cluster's default
+    parallelism before the Python stage. Without it, a scan of small files (or
+    an AQE-coalesced shuffle) can feed the CPU-bound kernel with fewer
+    partitions than cores and serialize the whole stage; partitioning by
+    doc_key also makes checkpoint block contents deterministic for a fixed
+    partition count. Pass None to keep the upstream partitioning (e.g. when
+    the scan already yields well-sized splits at cluster scale).
     """
     cfg_k, cfg_perm, cfg_seed = cfg.shingle_k, cfg.num_perm, cfg.seed
     src = df.select(
@@ -77,6 +86,10 @@ def compute_signatures(
         F.col(sha_col).alias("content_sha"),
         F.col(content_col).alias("content"),
     )
+    if repartition == "auto":
+        repartition = df.sparkSession.sparkContext.defaultParallelism * 2
+    if repartition:
+        src = src.repartition(int(repartition), "doc_key")
 
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         seeds = perm_seeds(cfg_perm, cfg_seed)

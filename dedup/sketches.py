@@ -70,12 +70,17 @@ def hash_strings(values: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(np.asarray(values, dtype=object))
 
 
-def perm_seeds(num_perm: int, seed: int) -> np.ndarray:
-    """The MinHash permutation family: num_perm seeds derived from the master
-    seed via splitmix64 (a seeded stream, like the reference's seeded Gaussian
-    start block in computeSISVD, MatrixOpsImplOjAlgo.java:178)."""
+def perm_seeds(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """The MinHash permutation family: (a, b) multiply-add coefficients
+    derived from the master seed via splitmix64 (a seeded stream, like the
+    reference's seeded Gaussian start block in computeSISVD,
+    MatrixOpsImplOjAlgo.java:178). g_j(x) = a_j * x + b_j over wrapping
+    uint64 with odd a_j — 2 ops per evaluation; the hot loop of the whole
+    engine (128 evals per shingle)."""
     idx = np.arange(1, num_perm + 1, dtype=np.uint64) + U64(seed & 0xFFFFFFFFFFFFFFFF)
-    return splitmix64(idx)
+    a = splitmix64(idx) | U64(1)
+    b = splitmix64(idx + U64(0x9E3779B97F4A7C15))
+    return a, b
 
 
 def combine_windows(token_hashes: np.ndarray, k: int) -> np.ndarray:
@@ -94,48 +99,50 @@ def combine_windows(token_hashes: np.ndarray, k: int) -> np.ndarray:
 
 
 def minhash_from_segments(
-    shingles: np.ndarray, starts: np.ndarray, seeds: np.ndarray, chunk: int = 32
+    shingles: np.ndarray, starts: np.ndarray,
+    seeds: tuple[np.ndarray, np.ndarray], chunk: int = 32,
 ) -> np.ndarray:
     """MinHash signatures for contiguous shingle segments.
 
     shingles: flat uint64 array of shingle hashes for a batch of docs
     starts:   int64 array of segment start offsets (every segment non-empty)
-    seeds:    (num_perm,) uint64 permutation seeds
+    seeds:    (a, b) multiply-add coefficient arrays from perm_seeds
     Returns (n_docs, num_perm) uint64. Permutations processed in chunks to
     bound peak memory at chunk * len(shingles) * 8 bytes.
     """
+    a, b = seeds
     n_docs = len(starts)
-    num_perm = len(seeds)
+    num_perm = len(a)
     out = np.empty((n_docs, num_perm), dtype=np.uint64)
     if n_docs == 0:
         return out
     for c0 in range(0, num_perm, chunk):
         c1 = min(c0 + chunk, num_perm)
-        h = splitmix64(shingles[None, :] ^ seeds[c0:c1, None])
+        h = a[c0:c1, None] * shingles[None, :] + b[c0:c1, None]
         out[:, c0:c1] = np.minimum.reduceat(h, starts, axis=1).T
     return out
 
 
 def simhash_from_segments(shingles: np.ndarray, starts: np.ndarray,
-                          seg_counts: np.ndarray, bit_chunk: int = 16) -> np.ndarray:
+                          seg_counts: np.ndarray) -> np.ndarray:
     """64-bit SimHash per segment: majority vote over shingle-hash bits.
 
     Bit j of the fingerprint is 1 iff >= half of the segment's shingle hashes
-    have bit j set (ties round up). Returns (n_docs,) uint64. Bit columns are
-    processed in chunks to bound peak memory at bit_chunk * len(shingles) * 8.
+    have bit j set (ties round up). Returns (n_docs,) uint64. One unpackbits
+    pass extracts all 64 bit columns (n_shingles x 64 uint8, one C call);
+    reduceat accumulates per segment in int64.
     """
     n_docs = len(starts)
     if n_docs == 0:
         return np.empty(0, dtype=np.uint64)
-    out = np.zeros(n_docs, dtype=np.uint64)
-    for b0 in range(0, 64, bit_chunk):
-        b1 = min(b0 + bit_chunk, 64)
-        shifts = np.arange(b0, b1, dtype=np.uint64)
-        bits = ((shingles[:, None] >> shifts[None, :]) & U64(1)).astype(np.int64)
-        sums = np.add.reduceat(bits, starts, axis=0)  # (n_docs, b1-b0)
-        maj = (2 * sums >= seg_counts[:, None]).astype(np.uint64)
-        out |= (maj << shifts[None, :]).sum(axis=1, dtype=np.uint64)
-    return out
+    bits = np.unpackbits(
+        shingles.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+    )  # (n_shingles, 64) uint8, column j = bit j
+    sums = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)  # (n_docs, 64)
+    maj = (2 * sums >= seg_counts[:, None]).astype(np.uint64)
+    return (maj << np.arange(64, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64
+    )
 
 
 def band_hashes(sig: np.ndarray, bands: int, rows: int, seed: int) -> np.ndarray:
