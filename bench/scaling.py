@@ -39,6 +39,15 @@ spark = get_spark("scalebench", master=f"local[{{cores}}]",
                   shuffle_partitions=max(2 * cores, 8))
 df = spark.read.parquet({corpus!r})
 n_files = df.count()
+# warm-up: first Python stage pays one-time per-worker setup (socket/Arrow
+# init, ~0.3-0.6s x workers) that a long-running cluster job amortizes to
+# zero; run the full operator chain once on a small slice before timing
+warm = df.limit(2000)
+wk = key_docs(warm)
+wrep, _ = exact_stage(wk)
+wsig = compute_signatures(wrep, DedupConfig())
+wpairs, _ = candidate_pairs(compute_bands(wsig, DedupConfig()), DedupConfig())
+wpairs.count()
 t0 = time.time()
 keyed = key_docs(df)
 rep_docs, _ = exact_stage(keyed)
@@ -91,7 +100,7 @@ def run_level(cores: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=60000)
+    ap.add_argument("--docs", type=int, default=200000)
     ap.add_argument("--n", type=int, default=8, help="base parallelism N (4N must be <= cores)")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     args = ap.parse_args()

@@ -21,10 +21,19 @@ def get_spark(
     # in local mode the driver JVM hosts all executor threads — the 1g default
     # heap causes GC collapse at high parallelism; scale heap with cores
     mem = os.environ.get("SPARK_DRIVER_MEM", f"{max(4, cores)}g")
+    # make the repo importable by the worker daemon so it can preload kernels
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    os.environ["PYTHONPATH"] = (
+        repo + os.pathsep + os.environ.get("PYTHONPATH", "")
+    )
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.driver.memory", mem)
+        # preload numpy/pandas/pyarrow + kernels in the daemon: forked workers
+        # inherit them copy-on-write instead of importing per worker (~25s of
+        # first-stage warm-up at local[32] otherwise)
+        .config("spark.python.daemon.module", "dedup.worker_daemon")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
