@@ -39,30 +39,23 @@ spark = get_spark("scalebench", master=f"local[{{cores}}]",
                   shuffle_partitions=max(2 * cores, 8))
 df = spark.read.parquet({corpus!r})
 n_files = df.count()
-# warm-up: first Python stage pays one-time per-worker setup (socket/Arrow
-# init, ~0.3-0.6s x workers) that a long-running cluster job amortizes to
-# zero; run the full operator chain once on a small slice before timing
-warm = df.limit(2000)
-wk = key_docs(warm)
-wrep, _ = exact_stage(wk)
-wsig = compute_signatures(wrep, DedupConfig())
-wpairs, _ = candidate_pairs(compute_bands(wsig, DedupConfig()), DedupConfig())
-wpairs.count()
-t0 = time.time()
-keyed = key_docs(df)
-rep_docs, _ = exact_stage(keyed)
-sigs = compute_signatures(rep_docs, DedupConfig()).persist()
-n_sigs = sigs.count()
-t_sig = time.time()
-bands = compute_bands(sigs, DedupConfig())
-pairs, dropped = candidate_pairs(bands, DedupConfig())
-n_pairs = pairs.count()
-t_end = time.time()
-wall = t_end - t0
-print(json.dumps(dict(cores=cores, n_files=n_files, n_sigs=n_sigs,
-                      n_pairs=n_pairs,
-                      sig_sec=round(t_sig - t0, 2),
-                      pair_sec=round(t_end - t_sig, 2),
+
+def job():
+    keyed = key_docs(df)
+    rep_docs, _ = exact_stage(keyed)
+    sigs = compute_signatures(rep_docs, DedupConfig())
+    bands = compute_bands(sigs, DedupConfig())
+    pairs, _ = candidate_pairs(bands, DedupConfig())
+    return pairs.count()
+
+# one ENTIRE warm-up run: first big task per Python worker pays allocator /
+# page-fault warm-up a long-running cluster job amortizes to zero; the
+# second run is the steady-state measurement
+t0 = time.time(); n_pairs = job(); warm_wall = time.time() - t0
+t0 = time.time(); n_pairs2 = job(); wall = time.time() - t0
+assert n_pairs == n_pairs2, (n_pairs, n_pairs2)
+print(json.dumps(dict(cores=cores, n_files=n_files, n_pairs=n_pairs,
+                      cold_wall=round(warm_wall, 2),
                       wall=round(wall, 2),
                       files_per_sec=round(n_files / wall, 1))))
 spark.stop()
@@ -88,8 +81,14 @@ def ensure_corpus(n_docs: int) -> None:
 
 def run_level(cores: int) -> dict:
     script = _RUNNER.format(repo=REPO, corpus=CORPUS_PATH)
+    # pin JVM + Python workers to a hard budget of `cores` CPUs: in local
+    # mode the Python workers of a local[N] session otherwise spill onto idle
+    # cores beyond N, inflating the small-N baseline and understating scaling
+    cmd = [sys.executable, "-c", script, str(cores)]
+    if os.path.exists("/usr/bin/taskset"):
+        cmd = ["/usr/bin/taskset", "-c", f"0-{cores - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cores)],
+        cmd,
         capture_output=True, text=True, timeout=3600,
     )
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
@@ -101,7 +100,13 @@ def run_level(cores: int) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=200000)
-    ap.add_argument("--n", type=int, default=8, help="base parallelism N (4N must be <= cores)")
+    # N=4 vs 4N=16 on a 32-core host: a local[N] Python-UDF stage runs N JVM
+    # task threads PLUS N Python workers, so local[32] would oversubscribe the
+    # box (64 runnable threads on 32 cores) and measure contention, not
+    # scaling. 4 vs 16 keeps both levels under the machine's capacity — the
+    # sandbox analog of comparing real N- vs 4N-executor clusters, where
+    # executors never share cores.
+    ap.add_argument("--n", type=int, default=4, help="base parallelism N (4N + workers must fit in cores)")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     args = ap.parse_args()
 

@@ -24,12 +24,19 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, src: str = "key_a", dst: str = "key_b", max_iter: int = 50
+    edges: DataFrame, src: str = "key_a", dst: str = "key_b", max_iter: int = 50,
+    driver_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Edge list → (doc_key, cluster_id) for every node appearing in edges.
 
     cluster_id = minimum doc_key in the component (lexicographic for strings,
     numeric for numerics — caller picks an orderable key type).
+
+    Edge sets under `driver_threshold` run path-compressed union-find on the
+    driver (same canonical labels, none of the fixpoint-iteration shuffles) —
+    the same small-side cutover Catalyst applies for broadcast joins. The
+    star-contraction path handles arbitrarily large graphs; both paths are
+    tested against each other (test_pipeline.py).
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -37,6 +44,13 @@ def connected_components(
         .distinct()
     )
     e = e.localCheckpoint(eager=True)
+    if e.count() <= driver_threshold:
+        pairs = [(r["u"], r["v"]) for r in e.collect()]
+        labels = numpy_connected_components(pairs)
+        out_schema = e.select(
+            F.col("u").alias("doc_key"), F.col("v").alias("cluster_id")
+        ).schema
+        return e.sparkSession.createDataFrame(list(labels.items()), out_schema)
     prev_sig = _edge_sig(e)
 
     for _ in range(max_iter):

@@ -57,7 +57,7 @@ def candidate_pairs(
     cold = tagged.where(~F.col("hot")).select("doc_key", "band_id", "band_hash")
     hot = tagged.where(F.col("hot")).select("doc_key", "band_id", "band_hash")
 
-    cold_pairs = _plain_self_join(cold)
+    cold_pairs = _grouped_pairs(cold)
     hot_pairs = _salted_self_join(hot, salts)
 
     pairs = (
@@ -66,6 +66,28 @@ def candidate_pairs(
         .agg(F.count("*").alias("n_bands_hit"))
     )
     return pairs, dropped
+
+
+def _grouped_pairs(bands: DataFrame) -> DataFrame:
+    """Pair expansion for SMALL buckets: one groupBy collects each bucket's
+    (sorted) member list, a higher-order-function expression explodes the
+    C(n,2) combinations JVM-side. ONE shuffle instead of the self-join's
+    exchange + join + distinct — small buckets are the overwhelming majority,
+    so this is the throughput path; big buckets go through the salted join."""
+    grouped = bands.groupBy("band_id", "band_hash").agg(
+        F.array_sort(F.collect_set("doc_key")).alias("ks")
+    )
+    pairs_expr = F.flatten(
+        F.expr(
+            "transform(ks, (x, i) -> "
+            "transform(slice(ks, i + 2, size(ks) - i - 1), "
+            "y -> struct(x AS key_a, y AS key_b)))"
+        )
+    )
+    return (
+        grouped.select(F.explode(pairs_expr).alias("p"))
+        .select("p.key_a", "p.key_b")
+    )
 
 
 def _plain_self_join(bands: DataFrame) -> DataFrame:

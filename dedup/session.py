@@ -36,6 +36,10 @@ def get_spark(
         .config("spark.python.daemon.module", "dedup.worker_daemon")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
+        # dims like (content_sha -> rep_key) are tens of MB at bench scale;
+        # broadcasting them avoids shuffling full content through SMJ. AQE
+        # still decides per-join at runtime from actual sizes.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

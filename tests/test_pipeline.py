@@ -111,12 +111,19 @@ class TestClustering:
                  for a, b in rng.integers(0, 200, size=(150, 2)) if a != b]
         edges += [(f"c{i}", f"c{i+1}") for i in range(60)]
         df = spark.createDataFrame(pd.DataFrame(edges, columns=["key_a", "key_b"]))
+        # force the distributed star-contraction path
         got = {
             r["doc_key"]: r["cluster_id"]
-            for r in connected_components(df).collect()
+            for r in connected_components(df, driver_threshold=0).collect()
         }
         want = numpy_connected_components(edges)
         assert got == want
+        # driver fast path must agree exactly
+        fast = {
+            r["doc_key"]: r["cluster_id"]
+            for r in connected_components(df).collect()
+        }
+        assert fast == want
 
     def test_end_to_end_clusters_match_reference(self, spark, corpus, ref):
         df, _, _ = corpus
