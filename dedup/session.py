@@ -19,8 +19,14 @@ def get_spark(
     cores = _parallelism(master)
     shuffle_partitions = shuffle_partitions or max(2 * cores, 8)
     # in local mode the driver JVM hosts all executor threads — the 1g default
-    # heap causes GC collapse at high parallelism; scale heap with cores
-    mem = os.environ.get("SPARK_DRIVER_MEM", f"{max(4, cores)}g")
+    # heap causes GC collapse at high parallelism, and an over-sized heap with
+    # uncapped GC threads is just as bad: measured on this workload, 32g heap
+    # + default GC threads ran 3x slower at local[32] than 16g + 8 GC threads
+    # (GC burns cores that the Python workers need)
+    mem = os.environ.get("SPARK_DRIVER_MEM", f"{min(max(4, cores), 16)}g")
+    gc_opts = os.environ.get(
+        "SPARK_GC_OPTS", "-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2"
+    )
     # make the repo importable by the worker daemon so it can preload kernels
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.environ["PYTHONPATH"] = (
@@ -30,6 +36,7 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.driver.memory", mem)
+        .config("spark.driver.extraJavaOptions", gc_opts)
         # preload numpy/pandas/pyarrow + kernels in the daemon: forked workers
         # inherit them copy-on-write instead of importing per worker (~25s of
         # first-stage warm-up at local[32] otherwise)
