@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -87,7 +88,15 @@ def compute_signatures(
         F.col(content_col).alias("content"),
     )
     if repartition == "auto":
-        repartition = df.sparkSession.sparkContext.defaultParallelism * 2
+        target = df.sparkSession.sparkContext.defaultParallelism * 2
+        try:
+            current = src.rdd.getNumPartitions()
+        except Exception:
+            current = 0
+        # only shuffle the content when the upstream partitioning would
+        # under-feed the CPU-bound kernel; a windowed/shuffled upstream is
+        # already well-distributed and AQE keeps its partition sizes small
+        repartition = target if current < max(target // 2, 2) else None
     if repartition:
         src = src.repartition(int(repartition), "doc_key")
 
@@ -110,6 +119,78 @@ def compute_signatures(
             )
 
     return src.mapInPandas(compute, SIGNATURE_SCHEMA)
+
+
+SKETCH_AGG_SCHEMA = StructType(
+    [
+        StructField("group_key", StringType(), False),
+        StructField("n_docs", LongType(), False),
+        StructField("est_distinct_shingles", LongType(), False),
+    ]
+)
+
+_SKETCH_PARTIAL_SCHEMA = StructType(
+    [
+        StructField("group_key", StringType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+
+def minhash_sketch_by_group(
+    sig_df: DataFrame, group_col: str, cfg: DedupConfig
+) -> DataFrame:
+    """Mergeable corpus-level MinHash sketch per group — the reference's
+    partial+final aggregation contract run through Spark (SURVEY §2.2:
+    update=partial per partition, merge=final per group,
+    FrequentDirections.java:187-232).
+
+    Partial: one MinHashSketch per (input partition, group), serialized to
+    its compact preamble-validated image (shrink-before-shuffle, the
+    reference's compact-serialization discipline §4-6). Final: images are
+    heapified and merged associatively per group. Output includes a KMV-style
+    distinct-shingle estimate n̂ = (k-1) / Σ(min_i / 2^64) — deterministic
+    given the data, order-insensitive by the merge contract.
+    """
+    from dedup.sketches import MinHashSketch
+
+    num_perm, seed = cfg.num_perm, cfg.seed
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sketches: dict[str, MinHashSketch] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for g, sub in pdf.groupby("group_key", sort=False):
+                sk = sketches.setdefault(g, MinHashSketch(num_perm, seed))
+                sk.update(np.vstack(sub["minhash"].to_numpy()).astype(np.uint64))
+        if sketches:
+            yield pd.DataFrame(
+                {
+                    "group_key": list(sketches),
+                    "payload": [s.to_bytes() for s in sketches.values()],
+                }
+            )
+
+    def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = MinHashSketch(num_perm, seed)
+        for buf in pdf["payload"]:
+            merged.merge(MinHashSketch.from_bytes(bytes(buf)))
+        u = merged.mins.astype(np.float64) / float(2**64)
+        est = int((num_perm - 1) / max(u.sum(), 1e-300)) if merged.n else 0
+        return pd.DataFrame(
+            {
+                "group_key": [key[0]],
+                "n_docs": np.array([merged.n], dtype=np.int64),
+                "est_distinct_shingles": np.array([est], dtype=np.int64),
+            }
+        )
+
+    partials = (
+        sig_df.select(F.col(group_col).alias("group_key"), "minhash")
+        .mapInPandas(partial, _SKETCH_PARTIAL_SCHEMA)
+    )
+    return partials.groupBy("group_key").applyInPandas(final, SKETCH_AGG_SCHEMA)
 
 
 BANDS_SCHEMA = StructType(

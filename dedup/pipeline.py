@@ -53,12 +53,21 @@ def key_docs(df: DataFrame, key_cols: list[str] | None = None,
 
 def exact_stage(keyed: DataFrame) -> tuple[DataFrame, DataFrame]:
     """→ (representatives, exact_pairs). Representative = min doc_key per
-    content_sha; partial aggregation JVM-side, no data explosion."""
-    reps = keyed.groupBy("content_sha").agg(F.min("doc_key").alias("rep_key"))
-    joined = keyed.join(reps, "content_sha")
-    rep_docs = joined.where(F.col("doc_key") == F.col("rep_key")).drop("rep_key")
+    content_sha.
+
+    Implemented as a window min over content_sha: ONE shuffle of the content
+    (which any formulation needs to co-locate equal rows) and no driver-side
+    broadcast build — the groupBy+join alternative either broadcasts a
+    reps table that grows with the corpus (driver-serial collect) or shuffles
+    the content twice through a sort-merge join.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_sha")
+    tagged = keyed.withColumn("rep_key", F.min("doc_key").over(w))
+    rep_docs = tagged.where(F.col("doc_key") == F.col("rep_key")).drop("rep_key")
     pairs = (
-        joined.where(F.col("doc_key") != F.col("rep_key"))
+        tagged.where(F.col("doc_key") != F.col("rep_key"))
         .select(F.col("rep_key").alias("key_a"), F.col("doc_key").alias("key_b"))
     )
     return rep_docs, pairs

@@ -404,6 +404,19 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_candidate_pairs(sigs, CFG)
 
 
+def q_corpus_minhash_by_lang(spark, sf_dir):
+    """Mergeable corpus-level MinHash sketch per language: partial sketches
+    per partition, associative merge per group — the reference's
+    update/merge/serialize lifecycle as a Spark aggregation."""
+    from dedup.minhash import minhash_sketch_by_group
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    keyed = key_docs(corpus)
+    sigs = compute_signatures(keyed, CFG)
+    langs = keyed.select("doc_key", "lang")
+    return minhash_sketch_by_group(sigs.join(langs, "doc_key"), "lang", CFG)
+
+
 def q_doc_fingerprints(spark, sf_dir):
     """Winnowing-style rolling-hash fingerprints."""
     keyed = key_docs(documents_as_corpus(spark, sf_dir))
@@ -469,6 +482,7 @@ QUERIES = {
     "embedding_ann_lsh": q_embedding_ann_lsh,
     "embedding_ann_ivf": q_embedding_ann_ivf,
     "substring_pairs": q_substring_pairs,
+    "corpus_minhash_by_lang": q_corpus_minhash_by_lang,
 }
 
 ORACLES = {

@@ -47,6 +47,17 @@ def get_spark(
         # broadcasting them avoids shuffling full content through SMJ. AQE
         # still decides per-join at runtime from actual sizes.
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # sandbox-scale split/coalesce targets: default 128MB splits leave a
+        # GB-scale corpus under-parallel on 32 cores (a real cluster with
+        # TB-scale inputs should override via env)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_MAX_PARTITION_BYTES", "32MB"),
+        )
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_ADVISORY_PARTITION_BYTES", "16MB"),
+        )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
