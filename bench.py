@@ -38,6 +38,11 @@ def main() -> None:
 
     from dedup.queries import QUERIES
 
+    # warm-up: spin up Python workers + codegen before timing (one-time
+    # per-JVM costs a long-running job amortizes; see BENCH/BASELINE.md)
+    QUERIES["doc_fingerprints"](spark, sf_dir).count()
+    QUERIES["candidate_pairs"](spark, sf_dir).count()
+
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.time()
