@@ -1,0 +1,82 @@
+"""Physical-plan invariants: the optimizations SURVEY §4 relies on must stay
+in the plan (column pruning to the scan, filter pushdown, no accidental
+shuffles, no row-at-a-time Python anywhere)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedup.config import DedupConfig
+from dedup.minhash import compute_bands, compute_signatures
+from dedup.pipeline import key_docs
+
+SF = "/root/testdata/sf0.001"
+CFG = DedupConfig()
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    return docs.select(
+        F.lit("src").alias("repo"),
+        F.format_string("doc/%012d", "doc_id").alias("path"),
+        F.lit("head").alias("commit"),
+        "lang",
+        F.coalesce("text", F.lit("")).alias("content"),
+    )
+
+
+class TestPlanInvariants:
+    def test_signature_scan_prunes_columns(self, spark, corpus):
+        """Only the columns the signature stage needs reach the parquet scan
+        (SURVEY §4: only content reaches the shingler)."""
+        plan = physical_plan(compute_signatures(key_docs(corpus), CFG))
+        assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+    def test_signature_stage_single_exchange(self, spark, corpus):
+        """Exactly one shuffle (the parallelism repartition) feeds the
+        kernel; no hidden exchanges."""
+        plan = physical_plan(compute_signatures(key_docs(corpus), CFG))
+        assert plan.count("Exchange") == 1, plan
+
+    def test_bands_chain_without_extra_shuffle(self, spark, corpus):
+        """signatures → bands are chained Python stages: no exchange between
+        them."""
+        sigs = compute_signatures(key_docs(corpus), CFG)
+        plan = physical_plan(compute_bands(sigs, CFG))
+        assert plan.count("Exchange") == 1, plan
+
+    def test_no_row_at_a_time_python(self, spark, corpus):
+        """BatchEvalPython = row-at-a-time Python UDF — banned everywhere
+        (BASELINE.json input_hint). Arrow stages show up as MapInPandas /
+        ArrowEvalPython instead."""
+        from dedup.lsh import candidate_pairs
+        from dedup.verify import verified_pairs
+
+        sigs = compute_signatures(key_docs(corpus), CFG)
+        pairs, _ = candidate_pairs(compute_bands(sigs, CFG), CFG)
+        plan = physical_plan(verified_pairs(pairs, sigs, CFG))
+        assert "BatchEvalPython" not in plan
+
+    def test_tpch_q1_filter_pushdown(self, spark):
+        from dedup.queries import q_tpch_q1
+
+        plan = physical_plan(q_tpch_q1(spark, SF))
+        assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan, plan
+        # unused wide columns (comments etc.) must not be read
+        assert "l_partkey" not in plan.split("ReadSchema:")[1].split("\n")[0]
+
+    def test_verify_stage_is_jvm_expressions(self, spark, corpus):
+        """The signature comparison is built-in zip_with/aggregate expressions
+        in a JVM Project (codegen once AQE finalizes), never Python."""
+        from dedup.lsh import candidate_pairs
+        from dedup.verify import verified_pairs
+
+        sigs = compute_signatures(key_docs(corpus), CFG)
+        pairs, _ = candidate_pairs(compute_bands(sigs, CFG), CFG)
+        plan = physical_plan(verified_pairs(pairs, sigs, CFG))
+        assert "aggregate(zip_with(" in plan
+        assert "BatchEvalPython" not in plan
