@@ -404,6 +404,35 @@ def q_simhash_pairs(spark, sf_dir):
     return simhash_candidate_pairs(sigs, CFG)
 
 
+def q_asset_exact_dups(spark, sf_dir):
+    """Exact binary-payload dedup over the multimodal asset table (payloads
+    are genuinely BinaryType; sha2 runs JVM-side over the bytes)."""
+    from dedup.multimodal import assets_from_documents, exact_asset_dups
+
+    return exact_asset_dups(assets_from_documents(_docs(spark, sf_dir)))
+
+
+SQL_ASSET_EXACT_DUPS = """
+SELECT sha256(coalesce(text, '')) AS payload_sha,
+       CAST(count(*) AS BIGINT) AS dup_count,
+       min(printf('asset%06d', doc_id)) AS rep_asset
+FROM documents GROUP BY 1
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary payload → decoded feature vectors (stubbed decoder, real
+    Arrow/mapInPandas plumbing); returns per-asset byte counts, crc and the
+    unit-norm embedding."""
+    from dedup.multimodal import assets_from_documents, extract_features
+
+    feats = extract_features(assets_from_documents(_docs(spark, sf_dir)))
+    return feats.select(
+        "asset_id", "kind", "n_bytes", "payload_crc",
+        F.round(F.element_at("embedding", 1), 4).alias("feat_0"),
+    )
+
+
 def q_corpus_minhash_by_lang(spark, sf_dir):
     """Mergeable corpus-level MinHash sketch per language: partial sketches
     per partition, associative merge per group — the reference's
@@ -483,6 +512,8 @@ QUERIES = {
     "embedding_ann_ivf": q_embedding_ann_ivf,
     "substring_pairs": q_substring_pairs,
     "corpus_minhash_by_lang": q_corpus_minhash_by_lang,
+    "asset_exact_dups": q_asset_exact_dups,
+    "multimodal_features": q_multimodal_features,
 }
 
 ORACLES = {
@@ -498,4 +529,5 @@ ORACLES = {
     "top_customers": SQL_TOP_CUSTOMERS,
     "events_window": SQL_EVENTS_WINDOW,
     "user_event_stats": SQL_USER_EVENT_STATS,
+    "asset_exact_dups": SQL_ASSET_EXACT_DUPS,
 }
