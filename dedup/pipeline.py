@@ -220,15 +220,22 @@ def run_dedup(
     t0 = time.time()
     sigs = signatures_with_resume(rep_docs, cfg, warehouse)
     sigs = sigs.persist()
-    _metric(SIG_STAGE, t0, rows_out=sigs.count())
+    _metric(SIG_STAGE, t0,
+            rows_out=sigs.count() if warehouse is not None else None)
 
     t0 = time.time()
     bands = compute_bands(sigs, cfg)
     pairs, dropped = candidate_pairs(bands, cfg)
-    n_dropped = dropped.agg(
-        F.coalesce(F.sum(F.col("bucket_size") * (F.col("bucket_size") - 1) / 2), F.lit(0))
-    ).collect()[0][0]
-    _metric("lsh", t0, dropped_candidates=int(n_dropped))
+    if warehouse is not None:
+        # compensative accounting: pairs lost to bucket caps are recorded
+        # (SURVEY §2.3-5), not silently dropped
+        n_dropped = dropped.agg(
+            F.coalesce(
+                F.sum(F.col("bucket_size") * (F.col("bucket_size") - 1) / 2),
+                F.lit(0),
+            )
+        ).collect()[0][0]
+        _metric("lsh", t0, dropped_candidates=int(n_dropped))
 
     t0 = time.time()
     ver = verified_pairs(pairs, sigs, cfg)

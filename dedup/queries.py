@@ -53,7 +53,10 @@ def documents_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TXT = F.coalesce(F.col("text"), F.lit(""))
+def _txt():
+    # lazy: building a Column requires an active SparkContext, which must
+    # not be a precondition for importing this module
+    return F.coalesce(F.col("text"), F.lit(""))
 
 # ---------------------------------------------------------------------------
 # Oracle-checked queries (DuckDB-parity SQL exists)
@@ -63,7 +66,7 @@ def q_exact_dup_groups(spark, sf_dir):
     """Exact dedup: sha256 content grouping (dedup stage 1)."""
     return (
         _docs(spark, sf_dir)
-        .groupBy(F.sha2(_TXT, 256).alias("content_sha"))
+        .groupBy(F.sha2(_txt(), 256).alias("content_sha"))
         .agg(F.count("*").alias("dup_count"))
     )
 
@@ -97,7 +100,7 @@ FROM documents GROUP BY lang
 def q_doc_quality(spark, sf_dir):
     """Per-document quality scores: token count, punctuation ratio."""
     d = _docs(spark, sf_dir)
-    n_chars = F.length(_TXT)
+    n_chars = F.length(_txt())
     return d.select(
         "doc_id",
         token_count(F.col("text")).cast("bigint").alias("n_tokens"),
@@ -122,7 +125,7 @@ FROM documents
 
 def q_language_guess(spark, sf_dir):
     """Marker-stopword language ID heuristic, aggregated."""
-    d = _docs(spark, sf_dir).withColumn("guess", language_guess(_TXT))
+    d = _docs(spark, sf_dir).withColumn("guess", language_guess(_txt()))
     return d.groupBy("guess").agg(F.count("*").alias("n_docs"))
 
 
