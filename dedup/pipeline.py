@@ -242,6 +242,8 @@ def run_dedup(
     _metric("verify", t0)
 
     t0 = time.time()
+    # edges is consumed exactly once (eager localCheckpoint inside
+    # connected_components), so no persist is needed here
     edges = exact_pairs.unionByName(ver.select("key_a", "key_b"))
     comps = connected_components(edges)
     clusters = attach_singletons(comps, keyed)
