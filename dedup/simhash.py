@@ -45,6 +45,14 @@ def simhash_candidate_pairs(sig_df: DataFrame, cfg: DedupConfig) -> DataFrame:
     """
     n_blocks = cfg.simhash_max_hamming + 1
     blocks = simhash_blocks(sig_df, n_blocks)
+    # same cap discipline as lsh.py: a degenerate block value (e.g. all-zero
+    # fingerprints) must not turn the self-join quadratic; dropped mass is
+    # bounded by the cap and the exact-dup pre-fold upstream
+    sizes = blocks.groupBy("block_id", "block_val").agg(F.count("*").alias("sz"))
+    eligible = sizes.where(
+        (F.col("sz") >= 2) & (F.col("sz") <= cfg.band_bucket_cap)
+    ).select("block_id", "block_val")
+    blocks = blocks.join(eligible, ["block_id", "block_val"])
     a = blocks.alias("a")
     b = blocks.alias("b")
     pairs = (
