@@ -44,32 +44,34 @@ def candidate_pairs(
     dropped: (band_id, band_hash, bucket_size) for capped buckets — the
              compensative record (recall auditing, SURVEY §2.3-5)
 
-    ONE exchange groups each bucket's members; routing happens on the grouped
-    rows: small buckets explode their C(n,2) pairs JVM-side in place, hot
-    buckets (rare) re-explode into rows and go through the salted self-join
-    so one giant bucket can't pin a task, over-cap buckets are recorded and
-    dropped. Worst-case group memory = cap * keylen (the sha-exact pre-fold
-    upstream keeps degenerate identical-content buckets out entirely).
+    TWO passes so no task ever buffers an uncapped bucket: pass 1 is the
+    map-side-combinable count per bucket (skew-safe: partial counts shuffle,
+    not members); over-cap buckets are recorded and anti-filtered BEFORE any
+    member list is ever collected. Pass 2 joins the eligible bucket sizes
+    back onto the band rows and routes: small buckets group + explode their
+    C(n,2) pairs JVM-side in place (group memory bounded by HOT_BUCKET_MIN),
+    hot-but-eligible buckets (rare) go through the salted self-join so one
+    bucket can't pin a task. A degenerate 10^7-member bucket (boilerplate
+    that survives the sha-exact pre-fold) therefore costs one counter, never
+    a multi-GB collect_set buffer.
     """
-    grouped = bands_df.groupBy("band_id", "band_hash").agg(
-        F.array_sort(F.collect_set("doc_key")).alias("ks")
-    )
-    # no persist here: within one action Catalyst reuses the exchange across
-    # the cold/hot/dropped branches, and persisting inside the operator would
-    # silently serve stale cached plans to later identical queries
-    grouped = grouped.withColumn("bucket_size", F.size("ks"))
-
-    dropped = grouped.where(F.col("bucket_size") > cfg.band_bucket_cap).select(
+    sizes = bucket_sizes(bands_df)
+    # no persist here: within one action Catalyst reuses the aggregation
+    # across the dropped/eligible branches, and persisting inside the
+    # operator would silently serve stale cached plans to later queries
+    dropped = sizes.where(F.col("bucket_size") > cfg.band_bucket_cap).select(
         "band_id", "band_hash", "bucket_size"
     )
-    cold = grouped.where(
-        (F.col("bucket_size") >= 2) & (F.col("bucket_size") < HOT_BUCKET_MIN)
+    eligible = sizes.where(
+        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= cfg.band_bucket_cap)
     )
-    hot = grouped.where(
-        (F.col("bucket_size") >= HOT_BUCKET_MIN)
-        & (F.col("bucket_size") <= cfg.band_bucket_cap)
-    )
+    rows = bands_df.join(eligible, ["band_id", "band_hash"])
 
+    cold = (
+        rows.where(F.col("bucket_size") < HOT_BUCKET_MIN)
+        .groupBy("band_id", "band_hash")
+        .agg(F.array_sort(F.collect_set("doc_key")).alias("ks"))
+    )
     pairs_expr = F.flatten(
         F.expr(
             "transform(ks, (x, i) -> "
@@ -80,8 +82,8 @@ def candidate_pairs(
     cold_pairs = cold.select(F.explode(pairs_expr).alias("p")).select(
         "p.key_a", "p.key_b"
     )
-    hot_rows = hot.select(
-        "band_id", "band_hash", F.explode("ks").alias("doc_key")
+    hot_rows = rows.where(F.col("bucket_size") >= HOT_BUCKET_MIN).select(
+        "band_id", "band_hash", "doc_key"
     )
     hot_pairs = _salted_self_join(hot_rows, salts)
 

