@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "top_customers",
     "user_event_stats",
     "doc_fingerprints",
+    "substring_pairs",     # suffix pass: fingerprints + hash-verify
 ]
 
 

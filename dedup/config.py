@@ -33,9 +33,11 @@ class DedupConfig:
     jaccard_threshold: float = 0.7   # verification threshold (est. Jaccard)
     simhash_max_hamming: int = 3     # SimHash near-dup Hamming radius
     band_bucket_cap: int = 2000      # max docs per LSH bucket before salting/capping
-    min_content_len: int = 1         # rows with shorter content are passed through
+    min_content_len: int = 1         # shorter content skips the signature stages
+                                     # (still exact-deduped; singleton otherwise)
     substring_min_len: int = 512     # suffix-array pass: min verbatim block length
-    substring_chunk: int = 1 << 16   # suffix-array pass: partition chunk size (chars)
+    substring_chunk: int = 1 << 20   # suffix pass: per-side verification byte cap
+                                     # (longer sides are truncated — bounded task cost)
 
     def __post_init__(self) -> None:
         # fail fast, never coerce (reference: FrequentDirections.java:156-181,
@@ -61,6 +63,14 @@ class DedupConfig:
             raise ValueError(f"band_bucket_cap must be >= 2, got {self.band_bucket_cap}")
         if self.substring_min_len < 8:
             raise ValueError(f"substring_min_len must be >= 8, got {self.substring_min_len}")
+        if self.substring_chunk < self.substring_min_len:
+            raise ValueError(
+                f"substring_chunk ({self.substring_chunk}) must be >= "
+                f"substring_min_len ({self.substring_min_len}) or verification "
+                "could never confirm a block"
+            )
+        if self.min_content_len < 0:
+            raise ValueError(f"min_content_len must be >= 0, got {self.min_content_len}")
 
     def config_hash(self) -> str:
         """Stable hash of semantically relevant fields; keys checkpoint rows.

@@ -51,6 +51,19 @@ def key_docs(df: DataFrame, key_cols: list[str] | None = None,
     return with_doc_key(df, key_cols, content_col)
 
 
+def signature_input(rep_docs: DataFrame, cfg: DedupConfig,
+                    content_col: str = "content") -> DataFrame:
+    """Representatives that proceed to the signature stages: content shorter
+    than cfg.min_content_len is skipped (still exact-deduped upstream; docs
+    left without edges become singletons in attach_singletons). Mirrored
+    bit-for-bit by reference_impl.reference_pipeline."""
+    if cfg.min_content_len <= 0:
+        return rep_docs
+    return rep_docs.where(
+        F.length(F.coalesce(F.col(content_col), F.lit(""))) >= cfg.min_content_len
+    )
+
+
 def exact_stage(keyed: DataFrame) -> tuple[DataFrame, DataFrame]:
     """→ (representatives, exact_pairs). Representative = min doc_key per
     content_sha.
@@ -215,6 +228,7 @@ def run_dedup(
 
     t0 = time.time()
     rep_docs, exact_pairs = exact_stage(keyed)
+    rep_docs = signature_input(rep_docs, cfg, content_col)
     _metric("exact", t0)
 
     t0 = time.time()

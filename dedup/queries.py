@@ -18,7 +18,7 @@ from dedup.ann import brute_force_topk, ivf_topk, lsh_topk
 from dedup.config import DedupConfig
 from dedup.lsh import bucket_sizes, candidate_pairs
 from dedup.minhash import compute_bands, compute_signatures, with_doc_key
-from dedup.pipeline import exact_stage, key_docs, run_dedup
+from dedup.pipeline import exact_stage, key_docs, run_dedup, signature_input
 from dedup.simhash import simhash_candidate_pairs
 from dedup.sketches import MinHashSketch
 from dedup.textops import (
@@ -367,6 +367,7 @@ def q_minhash_bands(spark, sf_dir):
     """LSH band table over the documents corpus (dedup stage 3)."""
     keyed = key_docs(documents_as_corpus(spark, sf_dir))
     rep_docs, _ = exact_stage(keyed)
+    rep_docs = signature_input(rep_docs, CFG)
     return compute_bands(compute_signatures(rep_docs, CFG), CFG)
 
 
@@ -380,6 +381,7 @@ def q_candidate_pairs(spark, sf_dir):
     """LSH candidate pairs (dedup stage 3 output)."""
     keyed = key_docs(documents_as_corpus(spark, sf_dir))
     rep_docs, _ = exact_stage(keyed)
+    rep_docs = signature_input(rep_docs, CFG)
     sigs = compute_signatures(rep_docs, CFG)
     pairs, _ = candidate_pairs(compute_bands(sigs, CFG), CFG)
     return pairs
@@ -389,6 +391,7 @@ def q_verified_pairs(spark, sf_dir):
     """Signature-verified near-dup pairs (dedup stage 4 output)."""
     keyed = key_docs(documents_as_corpus(spark, sf_dir))
     rep_docs, _ = exact_stage(keyed)
+    rep_docs = signature_input(rep_docs, CFG)
     sigs = compute_signatures(rep_docs, CFG)
     pairs, _ = candidate_pairs(compute_bands(sigs, CFG), CFG)
     return verified_pairs(pairs, sigs, CFG)
@@ -403,6 +406,7 @@ def q_simhash_pairs(spark, sf_dir):
     """SimHash Hamming-radius near-dup pairs (pigeonhole block join)."""
     keyed = key_docs(documents_as_corpus(spark, sf_dir))
     rep_docs, _ = exact_stage(keyed)
+    rep_docs = signature_input(rep_docs, CFG)
     sigs = compute_signatures(rep_docs, CFG)
     return simhash_candidate_pairs(sigs, CFG)
 

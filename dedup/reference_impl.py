@@ -58,8 +58,12 @@ def reference_pipeline(corpus: pd.DataFrame, cfg: DedupConfig) -> dict:
         for other in ks_sorted[1:]:
             exact_pairs.add((rep, other))
         rep_of[s] = rep
+        idx = key_to_idx[rep]
+        text = corpus["content"].iloc[idx]
+        if len(text if text is not None else "") < cfg.min_content_len:
+            continue  # short content skips signatures (mirrors pipeline)
         rep_keys.append(rep)
-        rep_idx.append(key_to_idx[rep])
+        rep_idx.append(idx)
 
     # signatures for representatives
     texts = corpus["content"].iloc[rep_idx].reset_index(drop=True)

@@ -23,7 +23,7 @@ from pyspark.sql.types import StructType
 
 from dedup.config import DedupConfig
 from dedup.minhash import with_doc_key
-from dedup.pipeline import exact_stage, signatures_with_resume
+from dedup.pipeline import exact_stage, signature_input, signatures_with_resume
 from dedup.warehouse import Warehouse
 
 CORPUS_SCHEMA = (
@@ -56,6 +56,7 @@ def ingest_stream(
             return
         keyed = with_doc_key(batch_df, key_cols)
         rep_docs, exact_pairs = exact_stage(keyed)
+        rep_docs = signature_input(rep_docs, cfg)
         signatures_with_resume(rep_docs, cfg, wh).count()  # materialize append
         wh.append(
             exact_pairs.withColumn("epoch", F.lit(int(epoch_id))),

@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
+from dedup.shingle import _utf8_blob
 from dedup.sketches import combine_windows, splitmix64
 
 EN_MARKERS = r"\b(the|of|and|to|in|is|a)\b"
@@ -66,9 +67,9 @@ def fingerprint_docs(
             if len(pdf) == 0:
                 continue
             texts = pdf[content_col].fillna("").astype(str)
-            raw = [t.encode("utf-8") for t in texts]
-            lens = np.array([len(b) for b in raw], dtype=np.int64)
-            blob = np.frombuffer(b"".join(raw), dtype=np.uint8).astype(np.uint64)
+            blob8, offsets = _utf8_blob(texts)
+            lens = np.diff(offsets)
+            blob = blob8.astype(np.uint64)
             win = combine_windows(blob, window)
             doc_of = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
             out = np.empty(len(pdf), dtype=np.uint64)

@@ -13,7 +13,7 @@ from dedup.config import DedupConfig
 from dedup.fixtures import make_corpus
 from dedup.lsh import candidate_pairs
 from dedup.minhash import compute_bands, compute_signatures
-from dedup.pipeline import exact_stage, key_docs, run_dedup
+from dedup.pipeline import exact_stage, key_docs, run_dedup, signature_input
 from dedup.reference_impl import reference_pipeline
 from dedup.verify import verified_pairs
 
@@ -37,7 +37,7 @@ class TestSignatureParity:
         df, pdf, _ = corpus
         keyed = key_docs(df)
         rep_docs, _ = exact_stage(keyed)
-        sigs = compute_signatures(rep_docs, CFG).collect()
+        sigs = compute_signatures(signature_input(rep_docs, CFG), CFG).collect()
         got = {r["doc_key"]: r for r in sigs}
         ref_sig = {
             k: ref["signatures"][i] for i, k in enumerate(ref["rep_keys"])

@@ -9,7 +9,12 @@ from pyspark.sql import functions as F
 from dedup.config import DedupConfig
 from dedup.fixtures import make_corpus
 from dedup.minhash import compute_signatures
-from dedup.pipeline import decode_signature_blocks, exact_stage, key_docs
+from dedup.pipeline import (
+    decode_signature_blocks,
+    exact_stage,
+    key_docs,
+    signature_input,
+)
 from dedup.streaming import ingest_stream
 from dedup.warehouse import Warehouse
 
@@ -50,6 +55,7 @@ class TestStreamingIngest:
         # batch reference over the full corpus
         keyed = key_docs(spark.createDataFrame(pdf))
         rep_docs, _ = exact_stage(keyed)
+        rep_docs = signature_input(rep_docs, CFG)
         batch = compute_signatures(rep_docs, CFG)
 
         a = {r["doc_key"]: (r["minhash"], r["simhash"]) for r in streamed.collect()}
