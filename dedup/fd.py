@@ -1,0 +1,536 @@
+"""FrequentDirections matrix sketch — the reference's flagship capability —
+as a numpy kernel plus a distributed Spark aggregation.
+
+The kernel reproduces the reference's behavioral contract exactly
+(reference: decomposition/FrequentDirections.java, MatrixOpsImplOjAlgo.java):
+
+  - 2k x d buffer B; amortized compaction when the buffer fills
+    (FrequentDirections.java:197-205): one SVD per k appended rows
+  - shrink step sigma'_i = sqrt(max(0, sigma_i^2 - sigma_k^2)) for i < k-1,
+    zero from k-1 on, write-back B <- S'.Vt, accumulate the subtracted
+    median mass into sv_adjustment (MatrixOpsImplOjAlgo.java:104-137)
+  - merge = replay the other sketch's used rows through the buffer, then sum
+    n and sv_adjustment (FrequentDirections.java:211-232) — associative
+    within the FD error guarantee, order-insensitive up to it
+  - queries: getSingularValues([compensative]) subtracts the CURRENT median
+    SV^2 and optionally adds back (sv_adjustment + medianSV^2)
+    (FrequentDirections.java:284-304); getProjectionMatrix returns Vt
+    (:311-317); getResult([compensative]) returns B or the adjusted rebuild
+    via sqrt(sigma^2 + adj) (:334-362, MatrixOpsImplOjAlgo.java:140-158)
+  - SVD algorithm selection FULL / SISVD / SYM with SYM (eigh of B.B^T, the
+    small Gram side) as default (SVDAlgo.java:33-51,
+    MatrixOpsImplOjAlgo.java:160-231); SISVD runs ceil(log2(d)) subspace
+    iterations with QR re-orthogonalization and Rayleigh-Ritz postprocessing
+    (MatrixOps.java:75-77, MatrixOpsImplOjAlgo.java:174-209)
+  - serialization: self-describing validated preamble + column-major payload
+    of used rows only (PreambleUtil.java:38-52, MatrixImplOjAlgo.java:136-175);
+    empty state is header-only; heapify rejects corrupt images
+    (FrequentDirections.java:104-148)
+
+Error guarantee (Liberty, "Simple and Deterministic Matrix Sketches",
+KDD 2013, cited at FrequentDirections.java:52-55):
+||A^T.A - B^T.B||_2 <= ||A||_F^2 / k.
+
+Distribution (SURVEY §3 EP2): per-partition partial sketches via mapInPandas
+(batch update = whole Arrow batch streamed through the buffer), compact
+serialized images shuffled (shrink-before-shuffle via force_reduce_rank, the
+reference's compact-serialization discipline §4-6), merged per group by
+replay in applyInPandas — Spark's partial+final aggregation placement, the
+caller-side seam the reference explicitly leaves open
+(package-info.java:23-27).
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from typing import Iterator
+
+import numpy as np
+
+from dedup.sketches import FLAG_EMPTY, MAGIC, SER_VER, SketchCorruptionError
+
+# continue the reference's family registry: MATRIX=128, FREQUENTDIRECTIONS=129
+# (matrix/MatrixFamily.java:43-47); 130/131 are this repo's MinHash families
+FAMILY_FD = 129
+
+SVD_FULL = "FULL"
+SVD_SISVD = "SISVD"
+SVD_SYM = "SYM"
+_ALGOS = (SVD_FULL, SVD_SISVD, SVD_SYM)
+
+# magic, ver, family, flags, k, d, rows_used, n, sv_adjustment
+_FD_HEADER = struct.Struct("<IBBBxiiiqd")
+
+
+class FrequentDirections:
+    """Mergeable FD sketch of a stream of d-dimensional vectors.
+
+    update/merge/serialize/heapify lifecycle with fail-fast validation,
+    mirroring the reference constructor contract k >= 1, d >= 1, d >= 2k
+    (FrequentDirections.java:156-181; the d < 2k case throws 'not yet
+    supported' in the reference too, MatrixOpsImplOjAlgo.java:121-122).
+    """
+
+    def __init__(self, k: int, d: int, algo: str = SVD_SYM, seed: int = 42):
+        if k < 1:
+            raise ValueError(f"k must be >= 1, got {k}")
+        if d < 1:
+            raise ValueError(f"d must be >= 1, got {d}")
+        if d < 2 * k:
+            raise ValueError(f"d must be >= 2k (d={d}, k={k}) — not supported")
+        if algo not in _ALGOS:
+            raise ValueError(f"unknown SVD algo {algo!r}; one of {_ALGOS}")
+        self.k = k
+        self.d = d
+        self.l = 2 * k
+        self.algo = algo
+        self.seed = seed
+        self.B = np.zeros((self.l, d), dtype=np.float64)
+        self.next_zero_row = 0
+        self.n = 0
+        self.sv_adjustment = 0.0
+        self._n_sisvd_iter = max(int(math.ceil(math.log2(d))), 1)
+
+    # ------------------------------------------------------------------ state
+
+    @property
+    def is_empty(self) -> bool:
+        return self.n == 0
+
+    @property
+    def num_rows(self) -> int:
+        return self.next_zero_row
+
+    def reset(self) -> None:
+        """Zero counters, keep the allocation (buffer reuse across batches,
+        FrequentDirections.java:367-371)."""
+        self.n = 0
+        self.next_zero_row = 0
+        self.sv_adjustment = 0.0
+        self.B[:] = 0.0
+
+    # ---------------------------------------------------------------- updates
+
+    def update(self, vectors: np.ndarray | None) -> None:
+        """Stream a batch of rows (m, d) through the buffer. None/empty is a
+        no-op (FrequentDirections.java:188-190); wrong width raises
+        (:192-195). Bit-identical to m single-row updates: rows are inserted
+        in order and compaction triggers exactly when the buffer fills
+        (:197-199) — the amortized-compaction contract (SURVEY §2.3-4)."""
+        if vectors is None:
+            return
+        v = np.atleast_2d(np.asarray(vectors, dtype=np.float64))
+        if v.shape[0] == 0:
+            return
+        if v.shape[1] != self.d:
+            raise ValueError(
+                f"input vector has wrong number of dimensions: expected "
+                f"{self.d}, found {v.shape[1]}"
+            )
+        self._append_rows(v)
+        self.n += v.shape[0]
+
+    def merge(self, other: "FrequentDirections | None") -> None:
+        """Replay the other sketch's used rows through this buffer, then sum
+        the accumulators (FrequentDirections.java:211-232). Schema-checked:
+        same d, other.k >= k (:216-219); empty merge is a no-op (:212-214)."""
+        if other is None or other.next_zero_row == 0:
+            return
+        if other.d != self.d or other.k < self.k:
+            raise ValueError(
+                "incoming sketch must have same number of dimensions and no "
+                f"smaller a value of k: ({other.k},{other.d}) vs "
+                f"({self.k},{self.d})"
+            )
+        self._append_rows(other.B[: other.next_zero_row])
+        self.n += other.n
+        self.sv_adjustment += other.sv_adjustment
+
+    def _append_rows(self, rows: np.ndarray) -> None:
+        i, m = 0, rows.shape[0]
+        while i < m:
+            if self.next_zero_row == self.l:
+                self._reduce_rank()
+            take = min(self.l - self.next_zero_row, m - i)
+            self.B[self.next_zero_row : self.next_zero_row + take] = rows[i : i + take]
+            self.next_zero_row += take
+            i += take
+
+    # ------------------------------------------------------------ compaction
+
+    def _svd(self, A: np.ndarray, compute_vectors: bool = True):
+        """(sv, Vt) of A by the selected algorithm. SYM decomposes the small
+        l x l Gram matrix A.A^T (MatrixOpsImplOjAlgo.java:211-231): sigma =
+        sqrt(lambda) descending, Vt = S^-1.U^T.A. SISVD is seeded-Gaussian
+        subspace iteration with QR stabilization and Rayleigh-Ritz
+        (:174-209). FULL is the exact library SVD (:160-172) with a
+        values-only fast path."""
+        if self.algo == SVD_FULL or not compute_vectors:
+            if compute_vectors:
+                u, sv, vt = np.linalg.svd(A, full_matrices=False)
+                return sv, vt
+            return np.linalg.svd(A, compute_uv=False), None
+        if self.algo == SVD_SYM:
+            gram = A @ A.T
+            w, u = np.linalg.eigh(gram)
+            order = np.argsort(w)[::-1]
+            w, u = w[order], u[:, order]
+            sv = np.sqrt(np.clip(w, 0.0, None))
+            inv = np.where(sv > 0, 1.0 / np.where(sv > 0, sv, 1.0), 0.0)
+            vt = (inv[:, None] * u.T) @ A
+            return sv, vt
+        # SISVD: approximate top-k subspace; deterministic given the seed
+        rng = np.random.default_rng(self.seed)
+        block = rng.normal(0.0, 1.0, size=(self.d, self.k))
+        block, _ = np.linalg.qr(block)
+        for _ in range(self._n_sisvd_iter):
+            t = A @ block
+            block, _ = np.linalg.qr(A.T @ t)
+        u2, sv, q2t = np.linalg.svd(A @ block, full_matrices=False)
+        vt = q2t @ block.T  # V = block.Q2^T => V^T = Q2.block^T (:205-207)
+        return sv, vt
+
+    def _reduce_rank(self) -> None:
+        """The FD shrink step (MatrixOpsImplOjAlgo.java:104-137 +
+        FrequentDirections.java:514-522): subtract the median (k-th) squared
+        singular value, zero the tail, write S'.Vt back into B, accumulate
+        the subtracted mass, reset the fill pointer to k-1."""
+        sv, vt = self._svd(self.B)
+        if len(sv) < self.k:
+            raise RuntimeError("running with d < 2k not supported")
+        median_sq = float(sv[self.k - 1]) ** 2
+        self.sv_adjustment += median_sq
+        new_sv = np.zeros(len(sv), dtype=np.float64)
+        head = sv[: self.k - 1]
+        new_sv[: self.k - 1] = np.sqrt(np.clip(head * head - median_sq, 0.0, None))
+        out = new_sv[:, None] * vt
+        self.B[: out.shape[0]] = out
+        self.B[out.shape[0] :] = 0.0
+        self.next_zero_row = self.k - 1
+
+    def force_reduce_rank(self) -> None:
+        """Rank-reduce even when the buffer is not full — the pre-serialize
+        trim that shrinks shuffle payloads (FrequentDirections.java:323-327:
+        no effect at <= k active rows)."""
+        if self.next_zero_row > self.k:
+            self._reduce_rank()
+
+    # --------------------------------------------------------------- queries
+
+    def get_singular_values(self, compensative: bool = False) -> np.ndarray:
+        """Length-k singular values, median-SV^2-subtracted; compensative
+        adds back (sv_adjustment + medianSV^2) (FrequentDirections.java:
+        284-304 — the last entry is 0 by construction there too)."""
+        sv, _ = self._svd(self.B, compute_vectors=False)
+        median_sq = float(sv[self.k - 1]) ** 2
+        tmp_adj = self.sv_adjustment + median_sq
+        out = np.zeros(self.k, dtype=np.float64)
+        head = sv[: self.k - 1].astype(np.float64)
+        adj_sq = head * head - median_sq
+        if compensative:
+            adj_sq = adj_sq + tmp_adj
+        out[: self.k - 1] = np.sqrt(np.clip(adj_sq, 0.0, None))
+        return out
+
+    def get_projection_matrix(self) -> np.ndarray:
+        """Orthonormal Vt of the current buffer — project input x into the
+        sketched k-space as Vt[:k] @ x (FrequentDirections.java:311-317)."""
+        _, vt = self._svd(self.B)
+        return vt
+
+    def get_result(self, compensative: bool = False) -> np.ndarray | None:
+        """The buffer itself, or the compensative rebuild with
+        sigma' = sqrt(sigma^2 + sv_adjustment) on the top k-1 values and the
+        tail zeroed (FrequentDirections.java:334-362,
+        MatrixOpsImplOjAlgo.java:140-158). Returns None when empty."""
+        if self.is_empty:
+            return None
+        if not compensative:
+            return self.B
+        sv, vt = self._svd(self.B)
+        new_sv = np.zeros(len(sv), dtype=np.float64)
+        head = sv[: self.k - 1]
+        new_sv[: self.k - 1] = np.sqrt(head * head + self.sv_adjustment)
+        out = np.zeros_like(self.B)
+        rebuilt = new_sv[:, None] * vt
+        out[: rebuilt.shape[0]] = rebuilt
+        return out
+
+    # ------------------------------------------------------- (de)serialization
+
+    def size_bytes(self) -> int:
+        """Full-image size accounting (Matrix.java:164-189 analog)."""
+        return _FD_HEADER.size + self.l * self.d * 8
+
+    def compact_size_bytes(self) -> int:
+        """Compact image: header + used rows only (Matrix.java:176-189)."""
+        if self.is_empty:
+            return _FD_HEADER.size
+        return _FD_HEADER.size + self.next_zero_row * self.d * 8
+
+    def to_bytes(self) -> bytes:
+        """Compact serialization: header + column-major doubles of the used
+        rows (the reference stores column-major 'to ensure portability',
+        Matrix.java:39-41); empty state is header-only
+        (FrequentDirections.java:381-383)."""
+        flags = FLAG_EMPTY if self.is_empty else 0
+        head = _FD_HEADER.pack(
+            MAGIC, SER_VER, FAMILY_FD, flags, self.k, self.d,
+            self.next_zero_row, self.n, self.sv_adjustment,
+        )
+        if self.is_empty:
+            return head
+        return head + self.B[: self.next_zero_row].tobytes(order="F")
+
+    @classmethod
+    def from_bytes(cls, buf: bytes, algo: str = SVD_SYM, seed: int = 42
+                   ) -> "FrequentDirections":
+        """Heapify with fail-fast validation of magic / ser-ver / family /
+        size, like the reference's heapify rejections
+        (FrequentDirections.java:117-126, MatrixImplOjAlgo.java:61-78)."""
+        if len(buf) < _FD_HEADER.size:
+            raise SketchCorruptionError(f"image too short: {len(buf)} bytes")
+        magic, ver, family, flags, k, d, rows, n, adj = _FD_HEADER.unpack_from(buf)
+        if magic != MAGIC:
+            raise SketchCorruptionError(f"bad magic 0x{magic:08X}")
+        if ver != SER_VER:
+            raise SketchCorruptionError(f"unsupported ser-ver {ver}")
+        if family != FAMILY_FD:
+            raise SketchCorruptionError(f"wrong family id {family}")
+        fd = cls(k, d, algo=algo, seed=seed)
+        if flags & FLAG_EMPTY:
+            return fd
+        if rows < 0 or rows > fd.l:
+            raise SketchCorruptionError(f"rows_used {rows} out of range 0..{fd.l}")
+        need = _FD_HEADER.size + rows * d * 8
+        if len(buf) < need:
+            raise SketchCorruptionError(f"truncated payload: {len(buf)} < {need}")
+        payload = np.frombuffer(buf, dtype=np.float64, count=rows * d,
+                                offset=_FD_HEADER.size)
+        fd.B[:rows] = payload.reshape((rows, d), order="F")
+        fd.next_zero_row = rows
+        fd.n = n
+        fd.sv_adjustment = adj
+        return fd
+
+    # -------------------------------------------------------------- describe
+
+    def describe(self, include_sv: bool = False) -> str:
+        """Human-readable dump of config + counters (+ singular values) —
+        the toString/preambleToString surface (FrequentDirections.java:
+        437-507, PreambleUtil.java:94-142)."""
+        lines = [
+            "### FrequentDirections sketch",
+            f"   k            : {self.k}",
+            f"   d            : {self.d}",
+            f"   l (buffer)   : {self.l}",
+            f"   algo         : {self.algo}",
+            f"   n            : {self.n}",
+            f"   rows used    : {self.next_zero_row}",
+            f"   sv adjustment: {self.sv_adjustment:.6g}",
+            f"   empty        : {self.is_empty}",
+            f"   compact bytes: {self.compact_size_bytes()}",
+        ]
+        if include_sv and not self.is_empty:
+            sv = self.get_singular_values()
+            lines.append("   singular values: "
+                         + ", ".join(f"{v:.4f}" for v in sv))
+        return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# distributed FD: partial per partition, merge per group
+# ---------------------------------------------------------------------------
+
+def fd_sketch_by_group(df, group_col, vec_col: str, k: int,
+                       algo: str = SVD_SYM, seed: int = 42):
+    """DataFrame with an array<float> column -> one merged FD sketch image
+    per group: (group_key, n, rows_used, sv_adjustment, compact_bytes,
+    payload).
+
+    Partial: one sketch per (input partition, group) built by batch updates
+    inside mapInPandas, force-reduced and compact-serialized before the
+    shuffle (shrink-before-shuffle, SURVEY §4-6). Final: images heapified
+    and merged by replay per group in applyInPandas — exactly the
+    partial+final Aggregator placement of the reference's update/merge
+    contract (FrequentDirections.java:187-232). Partials are merged in
+    sorted (part_id) order so the merged buffer is deterministic for a fixed
+    input partitioning; singular-value queries are order-insensitive within
+    the FD guarantee regardless (SURVEY §2.3-1).
+
+    group_col may be a column name or a Column expression (pass
+    F.lit("all") to sketch the whole table).
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        BinaryType, DoubleType, IntegerType, LongType, StringType,
+        StructField, StructType,
+    )
+
+    partial_schema = StructType([
+        StructField("group_key", StringType(), False),
+        StructField("part_id", IntegerType(), False),
+        StructField("payload", BinaryType(), False),
+    ])
+    out_schema = StructType([
+        StructField("group_key", StringType(), False),
+        StructField("n", LongType(), False),
+        StructField("rows_used", IntegerType(), False),
+        StructField("sv_adjustment", DoubleType(), False),
+        StructField("compact_bytes", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ])
+
+    gcol = F.col(group_col) if isinstance(group_col, str) else group_col
+    src = df.select(
+        gcol.cast("string").alias("group_key"), F.col(vec_col).alias("vec")
+    )
+
+    def partial(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        sketches: dict[str, FrequentDirections] = {}
+        d_seen = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for g, sub in pdf.groupby("group_key", sort=False):
+                mat = np.vstack(sub["vec"].to_numpy()).astype(np.float64)
+                if d_seen is None:
+                    d_seen = mat.shape[1]
+                sk = sketches.setdefault(
+                    g, FrequentDirections(k, d_seen, algo=algo, seed=seed)
+                )
+                sk.update(mat)
+        if sketches:
+            for sk in sketches.values():
+                sk.force_reduce_rank()  # shrink the shuffle payload
+            yield pd.DataFrame(
+                {
+                    "group_key": list(sketches),
+                    "part_id": np.full(len(sketches), pid, dtype=np.int32),
+                    "payload": [sk.to_bytes() for sk in sketches.values()],
+                }
+            )
+
+    def final(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        merged: FrequentDirections | None = None
+        for buf in pdf.sort_values("part_id")["payload"]:
+            sk = FrequentDirections.from_bytes(bytes(buf), algo=algo, seed=seed)
+            if merged is None:
+                merged = FrequentDirections(k, sk.d, algo=algo, seed=seed)
+            merged.merge(sk)
+        assert merged is not None  # applyInPandas never passes empty groups
+        return pd.DataFrame(
+            {
+                "group_key": [key[0]],
+                "n": np.array([merged.n], dtype=np.int64),
+                "rows_used": np.array([merged.num_rows], dtype=np.int32),
+                "sv_adjustment": np.array([merged.sv_adjustment]),
+                "compact_bytes": np.array([merged.compact_size_bytes()],
+                                          dtype=np.int64),
+                "payload": [merged.to_bytes()],
+            }
+        )
+
+    partials = src.mapInPandas(partial, partial_schema)
+    return partials.groupBy("group_key").applyInPandas(final, out_schema)
+
+
+def fd_singular_values(df, group_col, vec_col: str, k: int,
+                       algo: str = SVD_SYM, seed: int = 42):
+    """Per-group singular-value spectrum of the sketched matrix:
+    (group_key, n, rank, sv, sv_compensative) — the reference's
+    getSingularValues query surfaced as a DataFrame, raw and compensative
+    side by side (FrequentDirections.java:273-304)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    sketches = fd_sketch_by_group(df, group_col, vec_col, k, algo, seed)
+    schema = StructType([
+        StructField("group_key", StringType(), False),
+        StructField("n", LongType(), False),
+        StructField("rank", IntegerType(), False),
+        StructField("sv", DoubleType(), False),
+        StructField("sv_compensative", DoubleType(), False),
+    ])
+
+    def expand(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                sk = FrequentDirections.from_bytes(
+                    bytes(row["payload"]), algo=algo, seed=seed
+                )
+                raw = sk.get_singular_values(False)
+                comp = sk.get_singular_values(True)
+                yield pd.DataFrame(
+                    {
+                        "group_key": row["group_key"],
+                        "n": np.int64(row["n"]),
+                        "rank": np.arange(k, dtype=np.int32),
+                        "sv": raw,
+                        "sv_compensative": comp,
+                    }
+                )
+
+    return sketches.mapInPandas(expand, schema)
+
+
+def fd_project(df, id_col: str, vec_col: str, projection: np.ndarray):
+    """Project every vector into the sketched k-space: x -> Vt[:k] @ x —
+    the downstream use of getProjectionMatrix (FrequentDirections.java:
+    311-317), a broadcast matmul over Arrow batches (no shuffle: the k x d
+    matrix ships in the task closure like a broadcast dim table)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    proj = np.ascontiguousarray(projection, dtype=np.float64)
+    schema = StructType([
+        StructField("vec_id", LongType(), False),
+        StructField("proj", ArrayType(DoubleType(), False), False),
+    ])
+
+    def apply(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf["vec"].to_numpy()).astype(np.float64)
+            out = mat @ proj.T  # (m, k)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "proj": list(out),
+                }
+            )
+
+    src = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    return src.mapInPandas(apply, schema)
+
+
+def fd_preamble_to_string(buf: bytes) -> str:
+    """Decode and pretty-print an FD image header without materializing the
+    sketch (PreambleUtil.preambleToString analog, PreambleUtil.java:94-142)."""
+    if len(buf) < _FD_HEADER.size:
+        return f"### corrupt image: {len(buf)} bytes"
+    magic, ver, family, flags, k, d, rows, n, adj = _FD_HEADER.unpack_from(buf)
+    return "\n".join([
+        "### FD sketch image preamble",
+        f"   magic   : 0x{magic:08X}",
+        f"   ser ver : {ver}",
+        f"   family  : {family}",
+        f"   flags   : {flags}" + ("  (EMPTY)" if flags & FLAG_EMPTY else ""),
+        f"   k       : {k}",
+        f"   d       : {d}",
+        f"   rowsUsed: {rows}",
+        f"   n       : {n}",
+        f"   svAdj   : {adj:.6g}",
+        f"   imgBytes: {len(buf)}",
+    ])

@@ -33,6 +33,41 @@ def bucket_sizes(bands_df: DataFrame) -> DataFrame:
     )
 
 
+def lsh_audit(bands_df: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Compensative accounting surfaced as a query — the analog of
+    getSingularValues(compensative=true) exposing svAdjustment_ at query time
+    (reference: FrequentDirections.java:284-304, SURVEY §2.3-5): the raw
+    result (pair slots actually eligible) next to the mass subtracted by the
+    bucket cap (pair slots dropped), so recall can be audited without rerun.
+
+    One row: (n_buckets, n_multi_buckets, n_dropped_buckets,
+    eligible_pair_slots, dropped_pair_slots, candidate_recall_floor).
+    """
+    sz = F.col("bucket_size").cast("double")
+    slots = sz * (sz - F.lit(1.0)) / F.lit(2.0)
+    over = F.col("bucket_size") > cfg.band_bucket_cap
+    multi = F.col("bucket_size") >= 2
+    return bucket_sizes(bands_df).agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(multi.cast("long")).alias("n_multi_buckets"),
+        F.sum(over.cast("long")).alias("n_dropped_buckets"),
+        F.sum(F.when(multi & ~over, slots).otherwise(F.lit(0.0)))
+        .cast("long").alias("eligible_pair_slots"),
+        F.sum(F.when(over, slots).otherwise(F.lit(0.0)))
+        .cast("long").alias("dropped_pair_slots"),
+    ).withColumn(
+        "candidate_recall_floor",
+        F.round(
+            F.col("eligible_pair_slots")
+            / F.greatest(
+                F.col("eligible_pair_slots") + F.col("dropped_pair_slots"),
+                F.lit(1),
+            ),
+            6,
+        ),
+    )
+
+
 def candidate_pairs(
     bands_df: DataFrame,
     cfg: DedupConfig,

@@ -172,7 +172,7 @@ def minhash_sketch_by_group(
                 }
             )
 
-    def final(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def final(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         merged = MinHashSketch(num_perm, seed)
         for buf in pdf["payload"]:
             merged.merge(MinHashSketch.from_bytes(bytes(buf)))

@@ -359,9 +359,167 @@ FROM events GROUP BY user_id
 """
 
 
+def q_cluster_sha_containment(spark, sf_dir):
+    """INVARIANT ORACLE for the flagship pipeline: verbatim copies are
+    planted (docs with id < 50 duplicated under a different path, so a
+    different doc_key but the same content sha) and every exact-duplicate
+    group must land in exactly one cluster — SQL states the expected answer
+    without knowing any kernel."""
+    corpus = documents_as_corpus(spark, sf_dir)
+    copies = _docs(spark, sf_dir).where(F.col("doc_id") < 50).select(
+        F.lit("src").alias("repo"),
+        F.format_string("copy/%012d", "doc_id").alias("path"),
+        F.lit("head").alias("commit"),
+        "lang",
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
+    )
+    planted = corpus.unionByName(copies)
+    keyed = key_docs(planted)
+    clusters = run_dedup(spark, planted, CFG)
+    joined = keyed.select("doc_key", "content_sha").join(clusters, "doc_key")
+    return (
+        joined.groupBy("content_sha")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("cluster_id").alias("n_clusters"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+SQL_CLUSTER_SHA_CONTAINMENT = """
+SELECT sha256(coalesce(text, '')) AS content_sha,
+       CAST(2 AS BIGINT)          AS n_docs,
+       CAST(1 AS BIGINT)          AS n_clusters
+FROM documents WHERE doc_id < 50
+"""
+
+
+def q_cluster_canonical_labels(spark, sf_dir):
+    """INVARIANT ORACLE: cluster_id = min member doc_key (canonical labels,
+    SURVEY §2.3-1) and every doc is labeled — zero violations, all docs."""
+    clusters = run_dedup(spark, documents_as_corpus(spark, sf_dir), CFG)
+    per_cluster = clusters.groupBy("cluster_id").agg(
+        F.min("doc_key").alias("min_key"), F.count("*").alias("sz")
+    )
+    return per_cluster.agg(
+        F.sum("sz").alias("n_docs"),
+        F.sum((F.col("cluster_id") != F.col("min_key")).cast("long")).alias(
+            "n_violations"
+        ),
+    )
+
+
+SQL_CLUSTER_CANONICAL_LABELS = """
+SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS n_violations
+FROM documents
+"""
+
+
+def q_substring_share64(spark, sf_dir):
+    """ORACLE for the suffix pass: at substring_min_len = GRAM = 64 the
+    fingerprint sample rate is p = 1, so candidates are exhaustive and the
+    verified pair set must EXACTLY equal 'docs sharing any 64-char window' —
+    which SQL can enumerate directly."""
+    from dedup.suffix import substring_pairs
+
+    keyed = key_docs(documents_as_corpus(spark, sf_dir))
+    cfg = DedupConfig(substring_min_len=64)
+    pairs = substring_pairs(keyed, cfg)
+    ids = keyed.select(
+        "doc_key",
+        F.regexp_extract("path", r"doc/(\d+)", 1).cast("bigint").alias("doc_id"),
+    )
+    p = (
+        pairs.join(
+            ids.withColumnRenamed("doc_key", "key_a")
+            .withColumnRenamed("doc_id", "ida"),
+            "key_a",
+        )
+        .join(
+            ids.withColumnRenamed("doc_key", "key_b")
+            .withColumnRenamed("doc_id", "idb"),
+            "key_b",
+        )
+    )
+    return p.select(
+        F.least("ida", "idb").alias("id_a"), F.greatest("ida", "idb").alias("id_b")
+    ).distinct()
+
+
+SQL_SUBSTRING_SHARE64 = """
+WITH dw AS (
+  SELECT DISTINCT doc_id,
+         unnest([substring(coalesce(text,''), i, 64)
+                 for i in range(1, greatest(length(coalesce(text,'')) - 63, 0) + 1)]) AS win
+  FROM documents
+)
+SELECT DISTINCT least(a.doc_id, b.doc_id) AS id_a,
+                greatest(a.doc_id, b.doc_id) AS id_b
+FROM dw a JOIN dw b ON a.win = b.win AND a.doc_id < b.doc_id
+"""
+
+
+def q_embedding_ann_ivf_exhaustive(spark, sf_dir):
+    """ORACLE for the IVF machinery: probing every cell (nprobe =
+    n_centroids) degenerates to exact search, so the full IVF path —
+    quantizer training, cell assignment, cell join, ranking — must
+    reproduce the brute-force answer bit-for-bit."""
+    e = _emb(spark, sf_dir)
+    return ivf_topk(
+        e.where(F.col("vec_id") < 10), e.where(F.col("vec_id") >= 10),
+        k=5, n_centroids=16, nprobe=16,
+    )
+
+
+SQL_EMBEDDING_ANN_IVF_EXHAUSTIVE = SQL_EMBEDDING_KNN
+
+
 # ---------------------------------------------------------------------------
 # Rows-only queries (kernel semantics not expressible in ANSI SQL)
 # ---------------------------------------------------------------------------
+
+def q_fd_singular_values(spark, sf_dir):
+    """FrequentDirections sketch of the embedding matrix per label group:
+    the reference's flagship query (getSingularValues, raw + compensative)
+    as a distributed partial+final aggregation (dedup/fd.py)."""
+    from dedup.fd import fd_singular_values
+
+    e = _emb(spark, sf_dir)
+    return fd_singular_values(e, "label", "embedding", k=8).select(
+        "group_key", "n", "rank",
+        F.round("sv", 4).alias("sv"),
+        F.round("sv_compensative", 4).alias("sv_comp"),
+    )
+
+
+def q_fd_projection(spark, sf_dir):
+    """Project every embedding into the FD-sketched k-space
+    (getProjectionMatrix downstream use): global sketch, broadcast k x d
+    Vt, Arrow-batch matmul."""
+    from dedup.fd import FrequentDirections, fd_project, fd_sketch_by_group
+
+    e = _emb(spark, sf_dir)
+    img = fd_sketch_by_group(e, F.lit("all"), "embedding", k=8).collect()[0]
+    fd = FrequentDirections.from_bytes(bytes(img["payload"]))
+    proj = fd.get_projection_matrix()[:8]
+    return fd_project(e, "vec_id", "embedding", proj).select(
+        "vec_id", F.round(F.element_at("proj", 1), 4).alias("proj_0")
+    )
+
+
+def q_dedup_audit(spark, sf_dir):
+    """Compensative accounting query: eligible vs cap-dropped candidate
+    pair slots and the implied recall floor (the svAdjustment_ duality,
+    SURVEY §2.3-5)."""
+    from dedup.lsh import lsh_audit
+
+    keyed = key_docs(documents_as_corpus(spark, sf_dir))
+    rep_docs, _ = exact_stage(keyed)
+    rep_docs = signature_input(rep_docs, CFG)
+    sigs = compute_signatures(rep_docs, CFG)
+    return lsh_audit(compute_bands(sigs, CFG), CFG)
+
 
 def q_minhash_bands(spark, sf_dir):
     """LSH band table over the documents corpus (dedup stage 3)."""
@@ -521,6 +679,15 @@ QUERIES = {
     "corpus_minhash_by_lang": q_corpus_minhash_by_lang,
     "asset_exact_dups": q_asset_exact_dups,
     "multimodal_features": q_multimodal_features,
+    # invariant-oracle queries (kernel pipelines pinned from the SQL side)
+    "cluster_sha_containment": q_cluster_sha_containment,
+    "cluster_canonical_labels": q_cluster_canonical_labels,
+    "substring_share64": q_substring_share64,
+    "embedding_ann_ivf_exhaustive": q_embedding_ann_ivf_exhaustive,
+    # FrequentDirections surface
+    "fd_singular_values": q_fd_singular_values,
+    "fd_projection": q_fd_projection,
+    "dedup_audit": q_dedup_audit,
 }
 
 ORACLES = {
@@ -537,4 +704,8 @@ ORACLES = {
     "events_window": SQL_EVENTS_WINDOW,
     "user_event_stats": SQL_USER_EVENT_STATS,
     "asset_exact_dups": SQL_ASSET_EXACT_DUPS,
+    "cluster_sha_containment": SQL_CLUSTER_SHA_CONTAINMENT,
+    "cluster_canonical_labels": SQL_CLUSTER_CANONICAL_LABELS,
+    "substring_share64": SQL_SUBSTRING_SHARE64,
+    "embedding_ann_ivf_exhaustive": SQL_EMBEDDING_ANN_IVF_EXHAUSTIVE,
 }
