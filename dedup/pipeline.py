@@ -147,7 +147,8 @@ def decode_signature_blocks(ckpt: DataFrame, cfg: DedupConfig) -> DataFrame:
                         "refusing to resume from a mismatched config"
                     )
                 blk = SignatureBlock.from_bytes(bytes(payload))
-                if blk.num_perm != num_perm or blk.seed != seed:
+                if (blk.num_perm != num_perm
+                        or blk.seed != (seed & 0xFFFFFFFFFFFFFFFF)):
                     raise ValueError("checkpoint sketch params mismatch")
                 if blk.is_empty:
                     continue
@@ -167,33 +168,59 @@ def decode_signature_blocks(ckpt: DataFrame, cfg: DedupConfig) -> DataFrame:
 def signatures_with_resume(
     rep_docs: DataFrame, cfg: DedupConfig, wh: Warehouse | None,
     table: str = "checkpoint_signatures",
+    restrict_to_input: bool = True,
 ) -> DataFrame:
     """Compute signatures for rep_docs, resuming from checkpointed
     SignatureBlocks: already-checkpointed doc_keys are anti-joined away and
-    only the remainder is computed (mid-stage resume, north rule)."""
+    only the remainder is computed (mid-stage resume, north rule).
+
+    Scan discipline (VERDICT r1 fix #6): the append job is the ONLY pass
+    over the corpus on a fresh run; the appended row count is derived from
+    the checkpoint table's `n` column (metadata-scale sums before/after),
+    never from a second corpus scan. A true resume pays one extra pass that
+    materializes the input's doc_keys (localCheckpoint) — they feed both the
+    anti-join and, when restrict_to_input is set, the semi-join that keeps
+    STALE checkpoint signatures (docs renamed/removed since the previous
+    run) out of the result, so a phantom doc can never bridge two live docs
+    into one cluster (ADVICE r1). Streaming accumulation passes
+    restrict_to_input=False: its consumers read the checkpoint table
+    directly and want the union of all batches.
+    """
     if wh is None:
         return compute_signatures(rep_docs, cfg)
     cfg_hash = cfg.config_hash()
-    if wh.exists(table):
-        existing = wh.read(table).where(
-            (F.col("stage") == SIG_STAGE) & (F.col("config_hash") == cfg_hash)
-        )
-        done = decode_signature_blocks(existing, cfg)
-        todo = rep_docs.join(done.select("doc_key"), "doc_key", "left_anti")
+    sel = (F.col("stage") == SIG_STAGE) & (F.col("config_hash") == cfg_hash)
+
+    def ckpt():
+        return wh.read(table).where(sel) if wh.exists(table) else None
+
+    def ckpt_n(df) -> int:
+        if df is None:
+            return 0
+        return int(df.agg(F.coalesce(F.sum("n"), F.lit(0))).collect()[0][0])
+
+    existing = ckpt()
+    before = ckpt_n(existing)
+    rep_keys = None
+    if before > 0:
+        rep_keys = rep_docs.select("doc_key").localCheckpoint(eager=True)
+        done_keys = decode_signature_blocks(existing, cfg).select("doc_key")
+        todo = rep_docs.join(done_keys, "doc_key", "left_anti")
     else:
-        done = None
         todo = rep_docs
-    new_rows = todo.count()
-    if new_rows > 0:
-        new_sigs = compute_signatures(todo, cfg)
-        wh.append(signature_blocks(new_sigs, cfg), table)
-        wh.record_lineage(SIG_STAGE, cfg_hash, "appended", new_rows, table)
-    final = decode_signature_blocks(
-        wh.read(table).where(
-            (F.col("stage") == SIG_STAGE) & (F.col("config_hash") == cfg_hash)
-        ),
-        cfg,
+    # header-only rows from empty partitions are valid but add nothing on
+    # re-append; filtering is evaluated inside the same write job
+    blocks = signature_blocks(compute_signatures(todo, cfg), cfg).where(
+        F.col("rows_used") > 0
     )
+    wh.append(blocks, table)
+    new_rows = ckpt_n(ckpt()) - before
+    if new_rows > 0:
+        wh.record_lineage(SIG_STAGE, cfg_hash, "appended", new_rows, table)
+
+    final = decode_signature_blocks(ckpt(), cfg)
+    if rep_keys is not None and restrict_to_input:
+        final = final.join(rep_keys, "doc_key", "left_semi")
     # blocks are disjoint by construction; dropDuplicates is a cheap guard
     # (kernels are deterministic, so any surviving row is identical)
     return final.dropDuplicates(["doc_key"])

@@ -241,7 +241,7 @@ def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> np.ndarray:
 # Mergeable sketch structures with compact serialization
 # ---------------------------------------------------------------------------
 
-_MINHASH_HEADER = struct.Struct("<IBBBxiiq")  # magic, ver, family, flags, num_perm, seed32, n
+_MINHASH_HEADER = struct.Struct("<IBBBxiQq")  # magic, ver, family, flags, num_perm, seed64, n
 
 
 class SketchCorruptionError(ValueError):
@@ -268,6 +268,10 @@ class MinHashSketch:
     def __post_init__(self) -> None:
         if self.num_perm < 1:
             raise ValueError(f"num_perm must be >= 1, got {self.num_perm}")
+        # seeds are identified mod 2^64 (perm_seeds masks identically), so a
+        # full 64-bit value round-trips the header and merge schema checks
+        # never false-negative on wide or negative seeds (ADVICE r1)
+        self.seed = self.seed & 0xFFFFFFFFFFFFFFFF
         if self.mins is None:
             self.mins = np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
 
@@ -311,7 +315,7 @@ class MinHashSketch:
         flags = FLAG_EMPTY if self.is_empty else 0
         head = _MINHASH_HEADER.pack(
             MAGIC, SER_VER, FAMILY_MINHASH, flags, self.num_perm,
-            self.seed & 0x7FFFFFFF, self.n,
+            self.seed, self.n,
         )
         if self.is_empty:
             return head
@@ -340,7 +344,7 @@ class MinHashSketch:
         return sk
 
 
-_SIGBLOCK_HEADER = struct.Struct("<IBBBxiiq")  # magic, ver, family, flags, num_perm, seed32, n_rows
+_SIGBLOCK_HEADER = struct.Struct("<IBBBxiQq")  # magic, ver, family, flags, num_perm, seed64, n_rows
 
 
 @dataclass
@@ -367,6 +371,7 @@ class SignatureBlock:
     n_shingles: np.ndarray = field(default=None)  # type: ignore[assignment]
 
     def __post_init__(self) -> None:
+        self.seed = self.seed & 0xFFFFFFFFFFFFFFFF  # same masking as MinHashSketch
         if self.sigs is None:
             self.sigs = np.empty((0, self.num_perm), dtype=np.uint64)
         if self.sims is None:
@@ -433,7 +438,7 @@ class SignatureBlock:
         flags = FLAG_EMPTY if self.is_empty else 0
         head = _SIGBLOCK_HEADER.pack(
             MAGIC, SER_VER, FAMILY_SIGBLOCK, flags, self.num_perm,
-            self.seed & 0x7FFFFFFF, self.n,
+            self.seed, self.n,
         )
         if self.is_empty:
             return head

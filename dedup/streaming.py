@@ -57,7 +57,34 @@ def ingest_stream(
         keyed = with_doc_key(batch_df, key_cols)
         rep_docs, exact_pairs = exact_stage(keyed)
         rep_docs = signature_input(rep_docs, cfg)
-        signatures_with_resume(rep_docs, cfg, wh).count()  # materialize append
+
+        # cross-batch exact fold (ADVICE r1): a verbatim copy of a doc from
+        # an EARLIER batch must not be re-signed — its sha is already
+        # checkpointed. Fold it into an exact pair against the prior
+        # representative and keep only genuinely-new shas for signatures.
+        if wh.exists("checkpoint_signatures"):
+            from dedup.pipeline import SIG_STAGE, decode_signature_blocks
+
+            prior = decode_signature_blocks(
+                wh.read("checkpoint_signatures").where(
+                    (F.col("stage") == SIG_STAGE)
+                    & (F.col("config_hash") == cfg.config_hash())
+                ),
+                cfg,
+            ).groupBy("content_sha").agg(F.min("doc_key").alias("prior_key"))
+            hit = rep_docs.join(prior, "content_sha")
+            cross = hit.where(F.col("doc_key") != F.col("prior_key")).select(
+                F.col("prior_key").alias("key_a"),
+                F.col("doc_key").alias("key_b"),
+            )
+            exact_pairs = exact_pairs.unionByName(cross)
+            rep_docs = rep_docs.join(prior, "content_sha", "left_anti")
+
+        # restrict_to_input=False: the accumulated checkpoint is the state;
+        # consumers read it whole (batch semantics don't apply per micro-batch)
+        signatures_with_resume(
+            rep_docs, cfg, wh, restrict_to_input=False
+        ).count()  # materialize append
         wh.append(
             exact_pairs.withColumn("epoch", F.lit(int(epoch_id))),
             "stream_exact_pairs",
@@ -79,6 +106,19 @@ def ingest_stream(
 
 def keyed_writer(stream: DataFrame):
     return stream.writeStream.outputMode("append")
+
+
+def read_stream_exact_pairs(wh: Warehouse) -> DataFrame:
+    """Exact-duplicate pairs accumulated by ingest_stream, deduped on read.
+
+    The underlying table is AT-LEAST-ONCE: foreachBatch retries may append
+    the same pair rows again (only the signature path is idempotent by
+    anti-join), so consumers must read through this distinct() — the same
+    dedupe-on-read discipline as decode_signature_blocks' dropDuplicates.
+    """
+    return (
+        wh.read("stream_exact_pairs").select("key_a", "key_b").distinct()
+    )
 
 
 def streaming_lang_counts(

@@ -192,7 +192,7 @@ class TestMinHashSketch:
     def test_serialize_roundtrip_and_empty_header_only(self):
         e = MinHashSketch()
         buf = e.to_bytes()
-        assert len(buf) == 24  # header-only empty image
+        assert len(buf) == 28  # header-only empty image (64-bit seed)
         assert MinHashSketch.from_bytes(buf).is_empty
         a = MinHashSketch(); a.update(self._sig(7))
         back = MinHashSketch.from_bytes(a.to_bytes())
@@ -274,3 +274,35 @@ class TestConfig:
 
     def test_hash_changes_with_config(self):
         assert DedupConfig().config_hash() != DedupConfig(seed=7).config_hash()
+
+
+class TestWideSeeds:
+    """Seeds are identified mod 2^64: values >= 2^31 and negatives must
+    round-trip serialization and pass merge/decode schema checks
+    (ADVICE r1 — the old header masked to 31 bits)."""
+
+    @pytest.mark.parametrize("seed", [2**31, 2**63 - 1, -1, -(2**40)])
+    def test_minhash_seed_roundtrip(self, seed):
+        a = MinHashSketch(num_perm=8, seed=seed)
+        a.update(np.random.default_rng(1).integers(
+            0, 2**63, size=(3, 8), dtype=np.uint64))
+        back = MinHashSketch.from_bytes(a.to_bytes())
+        assert back.seed == a.seed
+        fresh = MinHashSketch(num_perm=8, seed=seed)
+        fresh.merge(back)  # must not raise
+        assert fresh.n == 3
+
+    @pytest.mark.parametrize("seed", [2**31 + 7, -12345])
+    def test_sigblock_seed_roundtrip(self, seed):
+        blk = SignatureBlock(num_perm=8, seed=seed)
+        blk.update(
+            ["k1"], ["ab" * 32],
+            np.ones((1, 8), dtype=np.uint64),
+            np.ones(1, dtype=np.uint64),
+            np.ones(1, dtype=np.int32),
+        )
+        back = SignatureBlock.from_bytes(blk.to_bytes())
+        assert back.seed == blk.seed and back.keys == ["k1"]
+        merged = SignatureBlock(num_perm=8, seed=seed)
+        merged.merge(back)  # must not raise
+        assert merged.n == 1

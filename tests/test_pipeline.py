@@ -125,6 +125,19 @@ class TestClustering:
         }
         assert fast == want
 
+    def test_byte_budget_forces_distributed_path(self, spark):
+        """Row count alone no longer gates the driver collect: blowing the
+        byte budget (long keys) routes through star contraction and labels
+        still match the numpy oracle (VERDICT r1 fix #7)."""
+        long = "x" * 200
+        edges = [(f"{long}{i}", f"{long}{i+1}") for i in range(40)]
+        df = spark.createDataFrame(pd.DataFrame(edges, columns=["key_a", "key_b"]))
+        got = {
+            r["doc_key"]: r["cluster_id"]
+            for r in connected_components(df, driver_byte_budget=1024).collect()
+        }
+        assert got == numpy_connected_components(edges)
+
     def test_end_to_end_clusters_match_reference(self, spark, corpus, ref):
         df, _, _ = corpus
         clusters = run_dedup(spark, df, CFG)

@@ -88,6 +88,52 @@ class TestKillAndResume:
         appended = [l for l in manifest["lineage"] if l["status"] == "appended"]
         assert appended and appended[-1]["rows"] == rep_docs.count() - n_half
 
+    def test_fresh_run_scans_corpus_once(self, spark, corpus_df, tmp_path):
+        """The append job is the only pass over the corpus on a fresh
+        warehouse run — no count-driven second scan (VERDICT r1 fix #6).
+        Counted with an accumulator on the rows flowing out of the input."""
+        import pandas as pd
+
+        acc = spark.sparkContext.accumulator(0)
+
+        def counting(batches):
+            for pdf in batches:
+                acc.add(len(pdf))
+                yield pdf
+
+        keyed = key_docs(corpus_df)
+        rep_docs, _ = exact_stage(keyed)
+        counted = rep_docs.mapInPandas(counting, rep_docs.schema)
+        n_reps = rep_docs.count()
+
+        wh = Warehouse(spark, str(tmp_path / "wh1scan"))
+        sigs = signatures_with_resume(counted, CFG, wh)
+        n_out = sigs.count()
+        assert n_out == n_reps
+        assert acc.value == n_reps, (
+            f"corpus rows scanned {acc.value} != {n_reps}: "
+            "fresh run must read the input exactly once"
+        )
+
+    def test_stale_checkpoint_keys_restricted(self, spark, corpus_df, tmp_path):
+        """Re-running against an existing warehouse after docs were REMOVED
+        must not leak the stale doc_keys into the result (ADVICE r1: a
+        phantom doc could bridge two live docs into one cluster)."""
+        keyed = key_docs(corpus_df)
+        rep_docs, _ = exact_stage(keyed)
+        wh = Warehouse(spark, str(tmp_path / "whstale"))
+        # full corpus checkpointed
+        signatures_with_resume(rep_docs, CFG, wh).count()
+        # corpus shrinks: half the docs disappear
+        live = rep_docs.where(F.abs(F.xxhash64("doc_key")) % 2 == 0)
+        live_keys = {r["doc_key"] for r in live.select("doc_key").collect()}
+        out = signatures_with_resume(live, CFG, wh)
+        got = {r["doc_key"] for r in out.collect()}
+        assert got == live_keys, "stale checkpoint keys leaked into resume"
+        # streaming accumulate path keeps the unrestricted union
+        acc = signatures_with_resume(live, CFG, wh, restrict_to_input=False)
+        assert acc.count() == rep_docs.count()
+
     def test_config_mismatch_refused(self, spark, corpus_df, tmp_path):
         keyed = key_docs(corpus_df)
         rep_docs, _ = exact_stage(keyed)

@@ -68,3 +68,40 @@ class TestStreamingIngest:
         assert decode_signature_blocks(
             wh.read("checkpoint_signatures"), CFG
         ).dropDuplicates(["doc_key"]).count() == len(b)
+
+    def test_cross_batch_verbatim_copy_folds_exact(self, spark, tmp_path):
+        """A verbatim copy arriving in a LATER batch is folded into a
+        cross-batch exact pair against the prior representative and is NOT
+        re-signed (ADVICE r1); stream_exact_pairs reads deduped."""
+        from dedup.streaming import read_stream_exact_pairs
+
+        pdf, _ = make_corpus(n_base=12, seed=33)
+        in_dir = str(tmp_path / "in2")
+        os.makedirs(in_dir)
+        wh = Warehouse(spark, str(tmp_path / "wh2"))
+        ckpt = str(tmp_path / "ck2")
+
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(in_dir)
+        ingest_stream(spark, in_dir, wh, CFG, ckpt)
+        n_before = decode_signature_blocks(
+            wh.read("checkpoint_signatures"), CFG
+        ).dropDuplicates(["doc_key"]).count()
+
+        # batch 2: one verbatim copy of doc 0 under a new path
+        copy = pdf.iloc[[0]].copy()
+        copy["path"] = "copied/later/" + copy["path"]
+        spark.createDataFrame(copy).coalesce(1).write.mode("append").parquet(in_dir)
+        ingest_stream(spark, in_dir, wh, CFG, ckpt)
+
+        n_after = decode_signature_blocks(
+            wh.read("checkpoint_signatures"), CFG
+        ).dropDuplicates(["doc_key"]).count()
+        assert n_after == n_before, "verbatim cross-batch copy was re-signed"
+
+        keyed = key_docs(spark.createDataFrame(copy))
+        copy_key = keyed.select("doc_key").collect()[0][0]
+        pairs = {(r["key_a"], r["key_b"])
+                 for r in read_stream_exact_pairs(wh).collect()}
+        assert any(copy_key in p for p in pairs), (
+            "cross-batch exact pair missing from stream_exact_pairs"
+        )
