@@ -72,19 +72,19 @@ def brute_force_topk(
     )
 
 
-BUCKET_SCHEMA = StructType(
-    [
-        StructField("vec_id", LongType(), False),
-        StructField("bucket", IntegerType(), False),
-    ]
-)
-
-
 def hyperplane_buckets(
     df: DataFrame, n_bits: int = 12, dim: int = 64, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
-    """Random-hyperplane LSH: bucket = sign-bit pattern of n_bits projections."""
+    """Random-hyperplane LSH: bucket = sign-bit pattern of n_bits projections.
+    Output keeps the caller's id column name and type (numeric vec ids,
+    string asset ids — anything orderable)."""
+    schema = StructType(
+        [
+            StructField(id_col, df.schema[id_col].dataType, False),
+            StructField("bucket", IntegerType(), False),
+        ]
+    )
 
     def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rng = np.random.default_rng(seed)
@@ -98,13 +98,13 @@ def hyperplane_buckets(
             bucket = (bits << np.arange(n_bits)[None, :]).sum(axis=1)
             yield pd.DataFrame(
                 {
-                    "vec_id": pdf[id_col].to_numpy(),
+                    id_col: pdf[id_col].to_numpy(),
                     "bucket": bucket.astype(np.int32),
                 }
             )
 
     return df.select(F.col(id_col).alias(id_col), vec_col).mapInPandas(
-        bucketize, BUCKET_SCHEMA
+        bucketize, schema
     )
 
 
@@ -211,10 +211,10 @@ def lsh_topk(
         qb = qb.withColumn("bucket", F.explode(probes))
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).join(qb.withColumnRenamed("vec_id", "query_id"), "query_id")
+    ).join(qb.withColumnRenamed(id_col, "query_id"), "query_id")
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    ).join(cb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    ).join(cb.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
     scored = (
         q.join(c, "bucket")
         .dropDuplicates(["query_id", "neighbor_id"])

@@ -2,18 +2,29 @@
 
 Image/audio/video content rides through the engine as `binary` columns plus a
 typed metadata struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched kernels over mapInPandas. The DECODERS ARE STUBS — the sandbox
-has no image/audio libraries — but everything Spark-side is real and tested:
-schemas, partitioning, batch shapes, the UDF contract, and a deterministic
-fake feature extractor (content-hash-seeded) so downstream similarity search
-and dedup over the feature vectors are exercisable end to end.
+Arrow-batched kernels over mapInPandas.
 
-Swapping in real decoders = replacing `_decode_stub` with PIL/ffmpeg calls;
-no plan shape changes.
+Decoder ladder (per payload, real first, graceful fallback — VERDICT r1):
+
+  image: PIL if importable (any format) -> pure-numpy PPM/PGM (P6/P5)
+         parser (always available) -> stub
+  audio: stdlib `wave` PCM WAV reader (always available) -> stub
+  video: stub (frame sampling needs ffmpeg; honest gap)
+
+Real decodes produce REAL perceptual features: images resize to an 8x8
+block-mean grayscale (64-dim), audio bins RMS energy into 64 windows — both
+scale-invariant enough that a re-encoded/resized copy of the same content
+lands next to the original in the downstream similarity search (see
+asset_near_dups). The stub path stays deterministic (content-hash-seeded) so
+the Spark plumbing — schemas, BinaryType columns, Arrow batch shapes,
+partitioning — is exercisable even for payloads no decoder accepts; the
+`decoder` output column says exactly which path ran.
 """
 
 from __future__ import annotations
 
+import io
+import wave
 import zlib
 from typing import Iterator
 
@@ -56,23 +67,117 @@ FEATURE_SCHEMA = StructType(
         StructField("kind", StringType(), False),
         StructField("n_bytes", LongType(), False),
         StructField("payload_crc", LongType(), False),
+        StructField("decoder", StringType(), False),
         StructField("embedding", ArrayType(FloatType(), False), False),
     ]
 )
 
+try:  # import-guarded real image decoder (absent in this sandbox)
+    from PIL import Image as _PIL_Image  # pragma: no cover
+except ImportError:
+    _PIL_Image = None
 
-def _decode_stub(payloads: list[bytes], kind: str) -> np.ndarray:
-    """STUB decoder (no media libs in this container): deterministic fake
-    pixel/sample tensors seeded by payload bytes. Replace with PIL / soundfile
-    / ffmpeg frame sampling in production — the batch contract (list[bytes] ->
-    (n, FEATURE_DIM) float32) is the real interface."""
-    out = np.empty((len(payloads), FEATURE_DIM), dtype=np.float32)
-    for i, buf in enumerate(payloads):  # batch-level loop over opaque blobs
-        seed = zlib.crc32(buf or b"")
-        rng = np.random.default_rng(seed)
-        out[i] = rng.standard_normal(FEATURE_DIM, dtype=np.float32)
-    norms = np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-12)
-    return out / norms
+
+def _decode_ppm(buf: bytes) -> np.ndarray | None:
+    """Pure-numpy binary PPM (P6) / PGM (P5) parser -> float32 grayscale
+    in [0, 1], or None if the payload is not a valid P5/P6 image."""
+    if not buf.startswith((b"P5", b"P6")):
+        return None
+    try:
+        # header = magic, width, height, maxval as whitespace-separated
+        # tokens; '#' comments run to end of line
+        tokens, pos = [], 2
+        while len(tokens) < 3:
+            while pos < len(buf) and buf[pos : pos + 1].isspace():
+                pos += 1
+            if buf[pos : pos + 1] == b"#":
+                pos = buf.index(b"\n", pos) + 1
+                continue
+            start = pos
+            while pos < len(buf) and not buf[pos : pos + 1].isspace():
+                pos += 1
+            tokens.append(int(buf[start:pos]))
+        pos += 1  # single whitespace after maxval
+        w, h, maxval = tokens
+        ch = 3 if buf.startswith(b"P6") else 1
+        raw = np.frombuffer(buf, dtype=np.uint8, count=w * h * ch, offset=pos)
+        img = raw.reshape(h, w, ch).astype(np.float32) / float(maxval)
+        return img.mean(axis=2)  # grayscale
+    except (ValueError, IndexError):
+        return None
+
+
+def _decode_image(buf: bytes) -> tuple[np.ndarray | None, str]:
+    if _PIL_Image is not None:
+        try:
+            img = _PIL_Image.open(io.BytesIO(buf)).convert("L")
+            return np.asarray(img, dtype=np.float32) / 255.0, "pil"
+        except Exception:
+            pass
+    gray = _decode_ppm(buf)
+    if gray is not None:
+        return gray, "ppm"
+    return None, "stub"
+
+
+def _decode_audio(buf: bytes) -> tuple[np.ndarray | None, str]:
+    """stdlib PCM WAV reader -> float32 mono samples in [-1, 1]."""
+    try:
+        with wave.open(io.BytesIO(buf)) as w:
+            n, width, ch = w.getnframes(), w.getsampwidth(), w.getnchannels()
+            raw = w.readframes(n)
+        dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(width)
+        if dtype is None or n == 0:
+            return None, "stub"
+        x = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+        if width == 1:
+            x = (x - 128.0) / 128.0
+        else:
+            x = x / float(2 ** (8 * width - 1))
+        return x.reshape(-1, ch).mean(axis=1), "wav"
+    except Exception:
+        return None, "stub"
+
+
+def _image_features(gray: np.ndarray) -> np.ndarray:
+    """8x8 block-mean thumbnail (the classic perceptual-hash front end):
+    resize-invariant, so a rescaled copy of the same image lands on nearly
+    the same vector."""
+    h, w = gray.shape
+    ph, pw = max(h // 8, 1) * 8, max(w // 8, 1) * 8
+    g = gray
+    if (h, w) != (ph, pw):  # pad edge-replicated up to a multiple of 8
+        g = np.pad(gray, ((0, max(ph - h, 0)), (0, max(pw - w, 0))), mode="edge")
+        g = g[:ph, :pw]
+    thumb = g.reshape(8, ph // 8, 8, pw // 8).mean(axis=(1, 3))
+    return thumb.reshape(-1).astype(np.float32)
+
+
+def _audio_features(samples: np.ndarray) -> np.ndarray:
+    """RMS energy in 64 equal time windows — duration-invariant."""
+    pad = (-len(samples)) % FEATURE_DIM
+    x = np.pad(samples, (0, pad)).reshape(FEATURE_DIM, -1)
+    return np.sqrt((x * x).mean(axis=1)).astype(np.float32)
+
+
+def _stub_features(buf: bytes) -> np.ndarray:
+    """Deterministic content-hash-seeded fallback: keeps the pipeline total
+    for payloads no decoder accepts (and the sandbox's text 'assets')."""
+    rng = np.random.default_rng(zlib.crc32(buf or b""))
+    return rng.standard_normal(FEATURE_DIM).astype(np.float32)
+
+
+def decode_features(buf: bytes, kind: str) -> tuple[np.ndarray, str]:
+    """One payload -> (FEATURE_DIM float32 vector, decoder name)."""
+    if kind == "image":
+        gray, dec = _decode_image(buf)
+        if gray is not None:
+            return _image_features(gray), dec
+    elif kind == "audio":
+        samples, dec = _decode_audio(buf)
+        if samples is not None:
+            return _audio_features(samples), dec
+    return _stub_features(buf), "stub"
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
@@ -80,14 +185,24 @@ def extract_features(assets: DataFrame) -> DataFrame:
 
     Only (asset_id, kind, payload) cross the Arrow boundary — metadata stays
     JVM-side and rejoins by asset_id if needed (column pruning on binary
-    columns matters: payloads dominate the bytes)."""
+    columns matters: payloads dominate the bytes). The per-payload loop is
+    batch-level over opaque blobs (decoding is inherently per-object); all
+    arithmetic inside each decode is vectorized numpy."""
 
     def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             payloads = [bytes(b) if b is not None else b"" for b in pdf["payload"]]
-            feats = _decode_stub(payloads, "any")
+            kinds = list(pdf["kind"])
+            feats = np.empty((len(payloads), FEATURE_DIM), dtype=np.float32)
+            decoders = []
+            for i, (buf, kind) in enumerate(zip(payloads, kinds)):
+                vec, dec = decode_features(buf, kind)
+                feats[i] = vec
+                decoders.append(dec)
+            norms = np.maximum(np.linalg.norm(feats, axis=1, keepdims=True), 1e-12)
+            feats /= norms
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["asset_id"].to_numpy(),
@@ -96,12 +211,46 @@ def extract_features(assets: DataFrame) -> DataFrame:
                     "payload_crc": np.array(
                         [zlib.crc32(b) for b in payloads], dtype=np.int64
                     ),
+                    "decoder": decoders,
                     "embedding": list(feats),
                 }
             )
 
     return assets.select("asset_id", "kind", "payload").mapInPandas(
         go, FEATURE_SCHEMA
+    )
+
+
+def asset_near_dups(assets: DataFrame, n_bits: int = 12, seed: int = 42,
+                    threshold: float = 0.92) -> DataFrame:
+    """Perceptual near-duplicate pairs over decoded features: hyperplane-LSH
+    buckets the unit vectors (dedup/ann.py path — one shuffle on bucket id,
+    never all-pairs), cosine-verifies within buckets. A resized copy of an
+    image or a re-padded copy of an audio clip pairs with its original."""
+    from dedup.ann import _cosine, as_double, hyperplane_buckets
+
+    feats = extract_features(assets).select("asset_id", "embedding")
+    b = hyperplane_buckets(feats, n_bits=n_bits, dim=FEATURE_DIM, seed=seed,
+                           id_col="asset_id", vec_col="embedding")
+    f = feats.select(
+        F.col("asset_id"), as_double(F.col("embedding")).alias("v")
+    ).join(b, "asset_id")
+    a2, b2 = f.alias("a"), f.alias("b")
+    return (
+        a2.join(
+            b2,
+            on=[
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.asset_id") < F.col("b.asset_id"),
+            ],
+        )
+        .select(
+            F.col("a.asset_id").alias("asset_a"),
+            F.col("b.asset_id").alias("asset_b"),
+            F.round(_cosine(F.col("a.v"), F.col("b.v")), 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .dropDuplicates(["asset_a", "asset_b"])
     )
 
 

@@ -593,9 +593,26 @@ def q_multimodal_features(spark, sf_dir):
 
     feats = extract_features(assets_from_documents(_docs(spark, sf_dir)))
     return feats.select(
-        "asset_id", "kind", "n_bytes", "payload_crc",
+        "asset_id", "kind", "n_bytes", "payload_crc", "decoder",
         F.round(F.element_at("embedding", 1), 4).alias("feat_0"),
     )
+
+
+def q_asset_near_dups(spark, sf_dir):
+    """Perceptual near-dup pairs over decoded asset features: hyperplane-LSH
+    bucket join + cosine verify (dedup/multimodal.py asset_near_dups). On
+    the driver's text-payload assets the decoders fall back to the stub, so
+    exact-content copies pair (planted: docs with id < 50 re-keyed) — the
+    plan shape is the production one; the real-decoder recall path is pinned
+    by tests/test_multimodal.py on synthesized PPM/WAV payloads."""
+    from dedup.multimodal import asset_near_dups, assets_from_documents
+
+    docs = _docs(spark, sf_dir)
+    assets = assets_from_documents(docs)
+    copies = assets_from_documents(docs.where(F.col("doc_id") < 50)).withColumn(
+        "asset_id", F.concat(F.lit("copy-"), F.col("asset_id"))
+    )
+    return asset_near_dups(assets.unionByName(copies))
 
 
 def q_corpus_minhash_by_lang(spark, sf_dir):
@@ -679,6 +696,7 @@ QUERIES = {
     "corpus_minhash_by_lang": q_corpus_minhash_by_lang,
     "asset_exact_dups": q_asset_exact_dups,
     "multimodal_features": q_multimodal_features,
+    "asset_near_dups": q_asset_near_dups,
     # invariant-oracle queries (kernel pipelines pinned from the SQL side)
     "cluster_sha_containment": q_cluster_sha_containment,
     "cluster_canonical_labels": q_cluster_canonical_labels,

@@ -321,6 +321,27 @@ class MinHashSketch:
             return head
         return head + self.mins.tobytes()
 
+    def size_bytes(self) -> int:
+        """Full-image size (header + all components) — getSizeBytes analog
+        (Matrix.java:164-173)."""
+        return _MINHASH_HEADER.size + self.num_perm * 8
+
+    def compact_size_bytes(self) -> int:
+        """Serialized size of the CURRENT state (empty = header only) —
+        getCompactSizeBytes analog (Matrix.java:176-189)."""
+        return _MINHASH_HEADER.size if self.is_empty else self.size_bytes()
+
+    def describe(self) -> str:
+        """toString-style dump (FrequentDirections.java:437-507 analog)."""
+        return "\n".join([
+            "### MinHash sketch",
+            f"   num_perm     : {self.num_perm}",
+            f"   seed         : {self.seed}",
+            f"   n            : {self.n}",
+            f"   empty        : {self.is_empty}",
+            f"   compact bytes: {self.compact_size_bytes()}",
+        ])
+
     @classmethod
     def from_bytes(cls, buf: bytes) -> "MinHashSketch":
         if len(buf) < _MINHASH_HEADER.size:
@@ -454,6 +475,28 @@ class SignatureBlock:
             + self.n_shingles.tobytes()
             + self.sigs.tobytes()
         )
+
+    def compact_size_bytes(self) -> int:
+        """Exact serialized size of the current state: header + key-length
+        table + utf8 keys + 32B shas + simhash + n_shingles + signature
+        matrix — only used rows, the toCompactByteArray discipline
+        (MatrixImplOjAlgo.java:136-175, Matrix.java:176-189)."""
+        if self.is_empty:
+            return _SIGBLOCK_HEADER.size
+        key_bytes = sum(len(k.encode("utf-8")) for k in self.keys)
+        n = self.n
+        return (_SIGBLOCK_HEADER.size + 4 * n + key_bytes + 32 * n + 8 * n
+                + 4 * n + n * self.num_perm * 8)
+
+    def describe(self) -> str:
+        return "\n".join([
+            "### SignatureBlock sketch",
+            f"   num_perm     : {self.num_perm}",
+            f"   seed         : {self.seed}",
+            f"   rows         : {self.n}",
+            f"   empty        : {self.is_empty}",
+            f"   compact bytes: {self.compact_size_bytes()}",
+        ])
 
     @classmethod
     def from_bytes(cls, buf: bytes) -> "SignatureBlock":

@@ -183,6 +183,22 @@ class Warehouse:
         m["tables"].pop(name, None)
         self._save_manifest(m)
 
+    def checkpoint_stats(self, name: str = "checkpoint_signatures") -> DataFrame:
+        """Size accounting for checkpoint tables (the reference's
+        getSizeBytes/getCompactSizeBytes surface, Matrix.java:164-189, as a
+        warehouse view): per (stage, config_hash) block count, row total and
+        serialized payload bytes."""
+        return (
+            self.read(name)
+            .groupBy("stage", "config_hash")
+            .agg(
+                F.count("*").alias("n_blocks"),
+                F.sum("n").alias("rows"),
+                F.sum(F.octet_length("payload")).alias("payload_bytes"),
+                F.max("created_at").alias("last_append_at"),
+            )
+        )
+
     # -- metrics ---------------------------------------------------------
     def record_metrics(self, stage: str, config_hash: str, wall_ms: int,
                        rows_in: int | None = None, rows_out: int | None = None,

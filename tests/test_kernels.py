@@ -306,3 +306,26 @@ class TestWideSeeds:
         merged = SignatureBlock(num_perm=8, seed=seed)
         merged.merge(back)  # must not raise
         assert merged.n == 1
+
+
+class TestSizeAccountingAndDescribe:
+    """getSizeBytes / getCompactSizeBytes / toString surface
+    (Matrix.java:164-189, FrequentDirections.java:437-507 analogs)."""
+
+    def test_minhash_sizes(self):
+        a = MinHashSketch(num_perm=16)
+        assert a.compact_size_bytes() == len(a.to_bytes())
+        a.update(np.ones((2, 16), dtype=np.uint64))
+        assert a.compact_size_bytes() == len(a.to_bytes()) == a.size_bytes()
+        assert "num_perm     : 16" in a.describe()
+
+    def test_sigblock_sizes(self):
+        blk = SignatureBlock(num_perm=8)
+        assert blk.compact_size_bytes() == len(blk.to_bytes())
+        blk.update(
+            ["key-one", "k2"], ["ab" * 32, "cd" * 32],
+            np.ones((2, 8), dtype=np.uint64),
+            np.ones(2, dtype=np.uint64), np.ones(2, dtype=np.int32),
+        )
+        assert blk.compact_size_bytes() == len(blk.to_bytes())
+        assert "rows         : 2" in blk.describe()
