@@ -8,9 +8,14 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 Implementation lives in the ``dedup`` package (SURVEY.md §7):
 oracle-checked queries cover the SQL-expressible stages (exact dedup,
 text quality/language/token ops, shingle counts, exact n-gram Jaccard,
-embedding kNN, relational agg/join/window layers); rows-only queries
-cover the kernel stages (MinHash bands, LSH candidates, verified pairs,
-clusters, SimHash pairs, fingerprints, LSH-ANN).
+embedding kNN, relational agg/join/window layers) plus four invariant
+oracles that pin the kernel pipelines from the SQL side (planted-copy
+cluster containment, canonical min-member labels, substring share-64
+exact pair parity, exhaustive-probe IVF == brute force); rows-only
+queries cover the remaining kernel stages (MinHash bands, LSH
+candidates, verified pairs, clusters, SimHash pairs, fingerprints,
+LSH/IVF-ANN, FrequentDirections spectrum/projection, multimodal
+features and perceptual near-dups, compensative dedup audit).
 """
 
 from __future__ import annotations

@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "user_event_stats",
     "doc_fingerprints",
     "substring_pairs",     # suffix pass: fingerprints + hash-verify
+    "fd_singular_values",  # FrequentDirections partial+merge aggregation
 ]
 
 

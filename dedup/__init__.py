@@ -22,9 +22,17 @@ Modules:
     warehouse  — Iceberg-or-Parquet table IO + checkpoint/lineage/metrics
     pipeline   — stage orchestration with resume-from-checkpoint
     fixtures   — deterministic synthetic corpus with planted duplicates
+    fd         — FrequentDirections matrix sketch (numpy kernel + distributed
+                 partial/merge aggregation; the reference's flagship query
+                 surface: singular values, projection matrix, compensative
+                 results)
+    ann        — embedding similarity search (brute-force / IVF / LSH)
+    textops    — language ID, quality scoring, token stats, fingerprints
+    multimodal — binary asset columns, decoder ladder, perceptual near-dups
+    streaming  — incremental ingest (foreachBatch + cross-batch exact fold)
 """
 
 from dedup.config import DedupConfig
 
 __all__ = ["DedupConfig"]
-__version__ = "0.1.0"
+__version__ = "0.2.0"

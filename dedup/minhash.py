@@ -73,13 +73,17 @@ def compute_signatures(
     select first so the Arrow transfer never ships anything else (SURVEY §4:
     only `content` reaches the shingler).
 
-    repartition="auto" hash-partitions by doc_key to 2x the cluster's default
-    parallelism before the Python stage. Without it, a scan of small files (or
-    an AQE-coalesced shuffle) can feed the CPU-bound kernel with fewer
-    partitions than cores and serialize the whole stage; partitioning by
-    doc_key also makes checkpoint block contents deterministic for a fixed
-    partition count. Pass None to keep the upstream partitioning (e.g. when
-    the scan already yields well-sized splits at cluster scale).
+    repartition="auto" hash-partitions by doc_key to 4x the cluster's default
+    parallelism before the Python stage. AQE coalesces upstream shuffles to
+    BYTE-sized partitions (advisoryPartitionSizeInBytes), which is right for
+    JVM relational work but wrong for a CPU-bound kernel stage: ~1.4 tasks
+    per core leaves cores idle in the last wave and one oversized coalesced
+    partition pins the stage tail (measured: 23 AQE partitions on 16 cores
+    ran the kernel at 0.57 scaling efficiency; an even 4x-per-core hash
+    repartition runs it at ~0.75+). The one extra content shuffle costs far
+    less than the stragglers it removes; partitioning by doc_key also makes
+    checkpoint block contents deterministic for a fixed partition count.
+    Pass None to keep the upstream partitioning, or an int to force a count.
     """
     cfg_k, cfg_perm, cfg_seed = cfg.shingle_k, cfg.num_perm, cfg.seed
     src = df.select(
@@ -88,15 +92,15 @@ def compute_signatures(
         F.col(content_col).alias("content"),
     )
     if repartition == "auto":
-        target = df.sparkSession.sparkContext.defaultParallelism * 2
+        target = df.sparkSession.sparkContext.defaultParallelism * 4
         try:
             current = src.rdd.getNumPartitions()
         except Exception:
             current = 0
-        # only shuffle the content when the upstream partitioning would
-        # under-feed the CPU-bound kernel; a windowed/shuffled upstream is
-        # already well-distributed and AQE keeps its partition sizes small
-        repartition = target if current < max(target // 2, 2) else None
+        # skip the shuffle only when the upstream already provides at least
+        # the target task count (its partitioning is then fine-grained
+        # enough that wave quantization doesn't bite)
+        repartition = target if current < target else None
     if repartition:
         src = src.repartition(int(repartition), "doc_key")
 
