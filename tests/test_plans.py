@@ -80,3 +80,46 @@ class TestPlanInvariants:
         plan = physical_plan(verified_pairs(pairs, sigs, CFG))
         assert "aggregate(zip_with(" in plan
         assert "BatchEvalPython" not in plan
+
+    def test_fd_partial_final_no_row_python(self, spark):
+        """FD distribution: partials chain into the group merge with exactly
+        one exchange (the groupBy on group_key) and no row-at-a-time
+        Python anywhere."""
+        import pandas as pd
+
+        from dedup.fd import fd_sketch_by_group
+
+        pdf = pd.DataFrame(
+            {
+                "vec_id": range(64),
+                "embedding": [[float(i % 7)] * 16 for i in range(64)],
+                "label": [i % 2 for i in range(64)],
+            }
+        )
+        df = spark.createDataFrame(pdf).repartition(4)
+        plan = physical_plan(fd_sketch_by_group(df, "label", "embedding", k=4))
+        assert "BatchEvalPython" not in plan
+        # exactly one exchange sits between the partial and the final (the
+        # groupBy on group_key); anything below MapInPandas is input prep
+        assert plan.split("MapInPandas")[0].count("Exchange") == 1, plan
+
+    def test_substring_verify_no_row_python(self, spark, corpus):
+        from dedup.config import DedupConfig
+        from dedup.suffix import substring_pairs
+
+        plan = physical_plan(
+            substring_pairs(key_docs(corpus), DedupConfig(substring_min_len=64))
+        )
+        assert "BatchEvalPython" not in plan
+
+    def test_multimodal_features_prunes_metadata(self, spark):
+        """Only (asset_id, kind, payload) reach the decode UDF — the media
+        metadata struct stays JVM-side (binary column pruning)."""
+        from dedup.multimodal import assets_from_documents, extract_features
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        plan = physical_plan(extract_features(assets_from_documents(docs)))
+        assert "BatchEvalPython" not in plan
+        assert "media_meta" not in plan.split("MapInPandas")[0], (
+            "metadata struct must not cross the Arrow boundary"
+        )

@@ -97,3 +97,70 @@ class TestSuffixArrayProperties:
             while k < min(len(a), len(b)) and a[k] == b[k]:
                 k += 1
             assert lcp[i] == k
+
+
+class TestFrequentDirectionsProperties:
+    """FD invariants for ANY stream (hypothesis): serialization roundtrip,
+    counter accounting under merge, the raw<=compensative ordering, and the
+    KDD'13 spectral bound."""
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=5),
+        st.integers(min_value=0, max_value=30),
+        st.randoms(use_true_random=False),
+    )
+    def test_roundtrip_and_accounting(self, k, n_rows, rnd):
+        from dedup.fd import FrequentDirections
+
+        d = 2 * k + rnd.randint(0, 6)
+        rng = np.random.default_rng(rnd.randint(0, 2**31))
+        fd = FrequentDirections(k, d)
+        rows = rng.normal(size=(n_rows, d)) * rng.uniform(0.1, 50)
+        fd.update(rows if n_rows else None)
+        assert fd.n == n_rows
+        assert 0 <= fd.num_rows <= 2 * k
+        assert fd.sv_adjustment >= 0.0
+
+        back = FrequentDirections.from_bytes(fd.to_bytes())
+        assert back.n == fd.n and back.num_rows == fd.num_rows
+        assert np.allclose(back.B, fd.B)
+        assert len(fd.to_bytes()) == fd.compact_size_bytes()
+
+        if n_rows:
+            raw = fd.get_singular_values(False)
+            comp = fd.get_singular_values(True)
+            assert np.all(comp + 1e-9 >= raw)
+            # KDD'13: ||A^T A - B^T B||_2 <= ||A||_F^2 / k
+            b = fd.get_result(False)
+            err = np.linalg.norm(rows.T @ rows - b.T @ b, ord=2)
+            bound = np.linalg.norm(rows, "fro") ** 2 / k
+            assert err <= bound * (1 + 1e-9) + 1e-9
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.integers(min_value=2, max_value=4),
+        st.integers(min_value=1, max_value=20),
+        st.integers(min_value=1, max_value=20),
+        st.randoms(use_true_random=False),
+    )
+    def test_merge_accounting_and_bound(self, k, n_a, n_b, rnd):
+        from dedup.fd import FrequentDirections
+
+        d = 2 * k + 2
+        rng = np.random.default_rng(rnd.randint(0, 2**31))
+        ra = rng.normal(size=(n_a, d))
+        rb = rng.normal(size=(n_b, d))
+        a = FrequentDirections(k, d)
+        b = FrequentDirections(k, d)
+        a.update(ra)
+        b.update(rb)
+        adj_sum = a.sv_adjustment + b.sv_adjustment
+        a.merge(b)
+        assert a.n == n_a + n_b
+        assert a.sv_adjustment >= adj_sum - 1e-12
+        # merged sketch still satisfies the bound over the FULL stream
+        allr = np.vstack([ra, rb])
+        m = a.get_result(False)
+        err = np.linalg.norm(allr.T @ allr - m.T @ m, ord=2)
+        assert err <= np.linalg.norm(allr, "fro") ** 2 / k * (1 + 1e-9) + 1e-9
