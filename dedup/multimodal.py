@@ -9,7 +9,9 @@ Decoder ladder (per payload, real first, graceful fallback — VERDICT r1):
   image: PIL if importable (any format) -> pure-numpy PPM/PGM (P6/P5)
          parser (always available) -> stub
   audio: stdlib `wave` PCM WAV reader (always available) -> stub
-  video: stub (frame sampling needs ffmpeg; honest gap)
+  video: frame sampling over concatenated-PPM streams (a real container:
+         back-to-back P6/P5 frames, the classic ffmpeg `-f image2pipe`
+         output) -> stub for codecs that need ffmpeg (honest gap)
 
 Real decodes produce REAL perceptual features: images resize to an 8x8
 block-mean grayscale (64-dim), audio bins RMS energy into 64 windows — both
@@ -160,6 +162,58 @@ def _audio_features(samples: np.ndarray) -> np.ndarray:
     return np.sqrt((x * x).mean(axis=1)).astype(np.float32)
 
 
+def _split_ppm_frames(buf: bytes, max_frames: int = 64) -> list[bytes]:
+    """Split a concatenated-PPM stream (ffmpeg image2pipe layout) into
+    per-frame byte slices without decoding pixels twice: each header's
+    width*height*channels tells where the next frame starts."""
+    frames, pos = [], 0
+    while pos < len(buf) and len(frames) < max_frames:
+        if not buf.startswith((b"P5", b"P6"), pos):
+            break
+        # parse header tokens to find the payload length
+        tokens, p = [], pos + 2
+        try:
+            while len(tokens) < 3:
+                while p < len(buf) and buf[p : p + 1].isspace():
+                    p += 1
+                if buf[p : p + 1] == b"#":
+                    p = buf.index(b"\n", p) + 1
+                    continue
+                start = p
+                while p < len(buf) and not buf[p : p + 1].isspace():
+                    p += 1
+                tokens.append(int(buf[start:p]))
+            p += 1
+        except (ValueError, IndexError):
+            break
+        w, h, _ = tokens
+        ch = 3 if buf.startswith(b"P6", pos) else 1
+        end = p + w * h * ch
+        if end > len(buf):
+            break
+        frames.append(buf[pos:end])
+        pos = end
+    return frames
+
+
+def _decode_video(buf: bytes, n_samples: int = 3) -> tuple[np.ndarray | None, str]:
+    """Frame-sample a concatenated-PPM video stream: decode n_samples
+    evenly-spaced frames (first / middle / last for the default 3) and
+    average their grayscale — the temporal-pooling front end of a video
+    perceptual hash. Containers needing ffmpeg fall back to the stub."""
+    frames = _split_ppm_frames(buf)
+    if not frames:
+        return None, "stub"
+    idx = np.unique(np.linspace(0, len(frames) - 1, n_samples).astype(int))
+    grays = [_decode_ppm(frames[i]) for i in idx]
+    grays = [g for g in grays if g is not None]
+    if not grays:
+        return None, "stub"
+    h = min(g.shape[0] for g in grays)
+    w = min(g.shape[1] for g in grays)
+    return np.mean([g[:h, :w] for g in grays], axis=0), "ppm-frames"
+
+
 def _stub_features(buf: bytes) -> np.ndarray:
     """Deterministic content-hash-seeded fallback: keeps the pipeline total
     for payloads no decoder accepts (and the sandbox's text 'assets')."""
@@ -177,6 +231,10 @@ def decode_features(buf: bytes, kind: str) -> tuple[np.ndarray, str]:
         samples, dec = _decode_audio(buf)
         if samples is not None:
             return _audio_features(samples), dec
+    elif kind == "video":
+        pooled, dec = _decode_video(buf)
+        if pooled is not None:
+            return _image_features(pooled), dec
     return _stub_features(buf), "stub"
 
 

@@ -172,3 +172,28 @@ class TestRealDecoders:
         pairs = {(r["asset_a"], r["asset_b"])
                  for r in asset_near_dups(docs, threshold=0.97).collect()}
         assert ("orig", "resized") in pairs
+
+    def test_video_frame_sampling(self, spark):
+        """Concatenated-PPM stream: evenly-spaced frames are sampled and
+        pooled; a re-encoded copy with doubled frame rate (every frame
+        duplicated) pools to ~the same vector; garbage falls to stub."""
+        grad = lambda fy, fx: int(200 * fx)
+        frames = [_ppm(16, 16, grad) for _ in range(6)]
+        vid = b"".join(frames)
+        vid2x = b"".join(f for f in frames for _ in (0, 1))  # 2x frame rate
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "asset_id": ["v1", "v2", "junk"],
+                    "kind": ["video"] * 3,
+                    "payload": [vid, vid2x, b"\x00not-video"],
+                }
+            )
+        )
+        rows = {r["asset_id"]: r for r in extract_features(docs).collect()}
+        assert rows["v1"]["decoder"] == "ppm-frames"
+        assert rows["v2"]["decoder"] == "ppm-frames"
+        assert rows["junk"]["decoder"] == "stub"
+        a = np.array(rows["v1"]["embedding"])
+        b = np.array(rows["v2"]["embedding"])
+        assert float(a @ b) > 0.99
