@@ -105,3 +105,43 @@ class TestStreamingIngest:
         assert any(copy_key in p for p in pairs), (
             "cross-batch exact pair missing from stream_exact_pairs"
         )
+
+    def test_watermarked_lang_counts_emit_on_window_close(self, spark, tmp_path):
+        """Append-mode watermarked windowed aggregation: a window only emits
+        once the watermark passes it, so the first AvailableNow run emits
+        nothing and a later arrival (clock advanced past window + watermark)
+        flushes the closed window with the full first-batch counts — the
+        late-data semantics of the streaming surface."""
+        import time
+
+        from dedup.streaming import streaming_lang_counts
+
+        pdf, _ = make_corpus(n_base=10, seed=44)
+        in_dir = str(tmp_path / "in3")
+        out_dir = str(tmp_path / "out3")
+        ckpt = str(tmp_path / "ck3")
+        os.makedirs(in_dir)
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(in_dir)
+        streaming_lang_counts(spark, in_dir, ckpt, out_dir)
+
+        # watermark = max_ts - 10s must pass window_end <= first_ts + 10s,
+        # so the late arrival needs to be > 20s after the first batch
+        time.sleep(22)
+        spark.createDataFrame(pdf.iloc[:1]).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        # the watermark advances at the END of the trigger that saw the late
+        # arrival, so the flush happens on the NEXT trigger — exactly the
+        # two-step late-data dance production pipelines live with
+        streaming_lang_counts(spark, in_dir, ckpt, out_dir)
+        spark.createDataFrame(pdf.iloc[:1]).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        streaming_lang_counts(spark, in_dir, ckpt, out_dir)
+
+        out = spark.read.parquet(out_dir)
+        emitted = out.agg(F.sum("n_docs")).collect()[0][0] or 0
+        assert emitted >= len(pdf), (
+            f"closed window must flush all {len(pdf)} first-batch rows, "
+            f"got {emitted}"
+        )
