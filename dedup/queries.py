@@ -388,10 +388,15 @@ def q_cluster_sha_containment(spark, sf_dir):
 
 
 SQL_CLUSTER_SHA_CONTAINMENT = """
-SELECT sha256(coalesce(text, '')) AS content_sha,
-       CAST(2 AS BIGINT)          AS n_docs,
-       CAST(1 AS BIGINT)          AS n_clusters
-FROM documents WHERE doc_id < 50
+WITH planted AS (
+  SELECT sha256(coalesce(text, '')) AS content_sha FROM documents
+  UNION ALL
+  SELECT sha256(coalesce(text, '')) FROM documents WHERE doc_id < 50
+)
+SELECT content_sha,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(1 AS BIGINT)        AS n_clusters
+FROM planted GROUP BY 1 HAVING count(*) > 1
 """
 
 
