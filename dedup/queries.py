@@ -480,6 +480,36 @@ def q_embedding_ann_ivf_exhaustive(spark, sf_dir):
 SQL_EMBEDDING_ANN_IVF_EXHAUSTIVE = SQL_EMBEDDING_KNN
 
 
+def q_corpus_cube(spark, sf_dir):
+    """Multi-dimensional rollup of the corpus: CUBE(lang, source) doc counts
+    and char totals — the grouping-sets aggregation surface (SURVEY §2.2).
+    Aggregated-out dimensions surface as '(all)' in both engines so the
+    value hash is null-free."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.cube("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("n_chars").cast("bigint")).alias("total_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("(all)")).alias("lang"),
+            F.coalesce("source", F.lit("(all)")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+    )
+
+
+SQL_CORPUS_CUBE = """
+SELECT coalesce(lang, '(all)')   AS lang,
+       coalesce(source, '(all)') AS source,
+       CAST(count(*) AS BIGINT)  AS n_docs,
+       CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
+FROM documents GROUP BY CUBE(lang, source)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Rows-only queries (kernel semantics not expressible in ANSI SQL)
 # ---------------------------------------------------------------------------
@@ -707,6 +737,7 @@ QUERIES = {
     "cluster_canonical_labels": q_cluster_canonical_labels,
     "substring_share64": q_substring_share64,
     "embedding_ann_ivf_exhaustive": q_embedding_ann_ivf_exhaustive,
+    "corpus_cube": q_corpus_cube,
     # FrequentDirections surface
     "fd_singular_values": q_fd_singular_values,
     "fd_projection": q_fd_projection,
@@ -731,4 +762,5 @@ ORACLES = {
     "cluster_canonical_labels": SQL_CLUSTER_CANONICAL_LABELS,
     "substring_share64": SQL_SUBSTRING_SHARE64,
     "embedding_ann_ivf_exhaustive": SQL_EMBEDDING_ANN_IVF_EXHAUSTIVE,
+    "corpus_cube": SQL_CORPUS_CUBE,
 }
