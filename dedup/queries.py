@@ -571,11 +571,13 @@ def q_lsh_bucket_sizes(spark, sf_dir):
 
 
 def q_candidate_pairs(spark, sf_dir):
-    """LSH candidate pairs (dedup stage 3 output)."""
+    """LSH candidate pairs (dedup stage 3 output). The two-pass bucket cap
+    consumes the bands twice; checkpointing the signatures keeps the
+    shingle/MinHash kernel to one execution (run_dedup persists instead)."""
     keyed = key_docs(documents_as_corpus(spark, sf_dir))
     rep_docs, _ = exact_stage(keyed)
     rep_docs = signature_input(rep_docs, CFG)
-    sigs = compute_signatures(rep_docs, CFG)
+    sigs = compute_signatures(rep_docs, CFG).localCheckpoint(eager=False)
     pairs, _ = candidate_pairs(compute_bands(sigs, CFG), CFG)
     return pairs
 
@@ -585,7 +587,7 @@ def q_verified_pairs(spark, sf_dir):
     keyed = key_docs(documents_as_corpus(spark, sf_dir))
     rep_docs, _ = exact_stage(keyed)
     rep_docs = signature_input(rep_docs, CFG)
-    sigs = compute_signatures(rep_docs, CFG)
+    sigs = compute_signatures(rep_docs, CFG).localCheckpoint(eager=False)
     pairs, _ = candidate_pairs(compute_bands(sigs, CFG), CFG)
     return verified_pairs(pairs, sigs, CFG)
 

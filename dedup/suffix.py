@@ -286,7 +286,11 @@ def substring_pairs(
     key_col: str = "doc_key", content_col: str = "content",
 ) -> DataFrame:
     """Full pass: (key_a, key_b, lcs_len) with lcs_len >= substring_min_len."""
-    fps = fingerprints(df, cfg, key_col, content_col)
+    # the candidate join consumes the fingerprint table on BOTH sides of the
+    # bucket-size pass; localCheckpoint materializes the kernel output once
+    # (fp rows are tiny vs content) without the plan-cache aliasing hazard a
+    # persist() inside a library operator would create
+    fps = fingerprints(df, cfg, key_col, content_col).localCheckpoint(eager=False)
     cand = substring_candidates(fps, cfg)
     docs = df.select(
         F.col(key_col).alias("doc_key"), F.col(content_col).alias("content")
