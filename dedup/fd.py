@@ -344,7 +344,8 @@ class FrequentDirections:
 # ---------------------------------------------------------------------------
 
 def fd_sketch_by_group(df, group_col, vec_col: str, k: int,
-                       algo: str = SVD_SYM, seed: int = 42):
+                       algo: str = SVD_SYM, seed: int = 42,
+                       merge_fanin: int = 64):
     """DataFrame with an array<float> column -> one merged FD sketch image
     per group: (group_key, n, rows_used, sv_adjustment, compact_bytes,
     payload).
@@ -358,6 +359,15 @@ def fd_sketch_by_group(df, group_col, vec_col: str, k: int,
     sorted (part_id) order so the merged buffer is deterministic for a fixed
     input partitioning; singular-value queries are order-insensitive within
     the FD guarantee regardless (SURVEY §2.3-1).
+
+    The merge is a TREE: partials first combine in buckets of merge_fanin
+    (keyed by part_id // merge_fanin, still sorted within a bucket), then
+    bucket results combine per group — Spark's treeAggregate shape. With a
+    flat merge one task would replay every partition's image; on a
+    1000-executor scan (10^5 partitions) that single task becomes the job
+    tail. Tree depth 2 bounds any task to max(merge_fanin,
+    n_partitions / merge_fanin) images while keeping the result
+    deterministic.
 
     group_col may be a column name or a Column expression (pass
     F.lit("all") to sketch the whole table).
@@ -416,14 +426,29 @@ def fd_sketch_by_group(df, group_col, vec_col: str, k: int,
                 }
             )
 
-    def final(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+    def _merge_images(payloads) -> FrequentDirections:
         merged: FrequentDirections | None = None
-        for buf in pdf.sort_values("part_id")["payload"]:
+        for buf in payloads:
             sk = FrequentDirections.from_bytes(bytes(buf), algo=algo, seed=seed)
             if merged is None:
                 merged = FrequentDirections(k, sk.d, algo=algo, seed=seed)
             merged.merge(sk)
         assert merged is not None  # applyInPandas never passes empty groups
+        return merged
+
+    def combine(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = _merge_images(pdf.sort_values("part_id")["payload"])
+        return pd.DataFrame(
+            {
+                "group_key": [key[0]],
+                # bucket id becomes the ordering key of the next level
+                "part_id": np.array([key[1]], dtype=np.int32),
+                "payload": [merged.to_bytes()],
+            }
+        )
+
+    def final(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        merged = _merge_images(pdf.sort_values("part_id")["payload"])
         return pd.DataFrame(
             {
                 "group_key": [key[0]],
@@ -437,6 +462,16 @@ def fd_sketch_by_group(df, group_col, vec_col: str, k: int,
         )
 
     partials = src.mapInPandas(partial, partial_schema)
+    if merge_fanin and merge_fanin > 1:
+        buckets = partials.withColumn(
+            "bucket", (F.col("part_id") / F.lit(merge_fanin)).cast("int")
+        )
+        partials = (
+            buckets.groupBy("group_key", "bucket")
+            .applyInPandas(
+                lambda key, pdf: combine(key, pdf), partial_schema
+            )
+        )
     return partials.groupBy("group_key").applyInPandas(final, out_schema)
 
 

@@ -350,3 +350,36 @@ class TestDistributed:
         rows = out.collect()
         assert len(rows) == 240
         assert all(len(r["proj"]) == k for r in rows)
+
+    def test_tree_merge_equals_flat_merge_within_guarantee(self, spark, emb):
+        """Fan-in 2 forces a real multi-bucket tree; the tree-merged sketch
+        must carry the same counters and obey the same sv sandwich as the
+        flat merge (merge order changes the buffer, never the guarantee —
+        SURVEY §2.3-1), and stay deterministic run to run."""
+        df, pdf = emb
+        k = 4
+        tree = fd_sketch_by_group(df, "label", "embedding", k=k, merge_fanin=2)
+        flat = fd_sketch_by_group(df, "label", "embedding", k=k, merge_fanin=0)
+        t = {r["group_key"]: r for r in tree.collect()}
+        f = {r["group_key"]: r for r in flat.collect()}
+        assert set(t) == set(f)
+        for g in t:
+            assert t[g]["n"] == f[g]["n"]
+        t2 = {r["group_key"]: r for r in tree.collect()}
+        for g in t:
+            assert bytes(t[g]["payload"]) == bytes(t2[g]["payload"])
+        # per-label true spectrum sandwiches the tree-merged estimates
+        from dedup.fd import FrequentDirections as FD
+
+        for g, r in t.items():
+            sk = FD.from_bytes(bytes(r["payload"]))
+            raw = sk.get_singular_values(False)
+            comp = sk.get_singular_values(True)
+            a = np.array(
+                [e for e, lab in zip(pdf["embedding"], pdf["label"])
+                 if str(lab) == g]
+            )
+            true_sv = np.linalg.svd(a, compute_uv=False)
+            for i in range(k - 1):
+                assert raw[i] <= true_sv[i] + 1e-6
+                assert true_sv[i] <= comp[i] + 1e-6

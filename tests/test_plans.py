@@ -99,9 +99,14 @@ class TestPlanInvariants:
         df = spark.createDataFrame(pdf).repartition(4)
         plan = physical_plan(fd_sketch_by_group(df, "label", "embedding", k=4))
         assert "BatchEvalPython" not in plan
-        # exactly one exchange sits between the partial and the final (the
-        # groupBy on group_key); anything below MapInPandas is input prep
-        assert plan.split("MapInPandas")[0].count("Exchange") == 1, plan
+        # the tree merge is exactly two exchanges above the partial stage:
+        # (group_key, bucket) for the combine level, group_key for the final
+        # (treeAggregate shape); anything below MapInPandas is input prep
+        assert plan.split("MapInPandas")[0].count("Exchange") == 2, plan
+        flat = physical_plan(
+            fd_sketch_by_group(df, "label", "embedding", k=4, merge_fanin=0)
+        )
+        assert flat.split("MapInPandas")[0].count("Exchange") == 1, flat
 
     def test_substring_verify_no_row_python(self, spark, corpus):
         from dedup.config import DedupConfig
