@@ -51,8 +51,11 @@ def connected_components(
     stats = e.agg(
         F.count("*").alias("c"),
         F.coalesce(
-            F.sum(F.length(F.col("u").cast("string")).cast("long")
-                  + F.length(F.col("v").cast("string")).cast("long")),
+            # octet_length, not length: the budget is in BYTES and multi-byte
+            # UTF-8 keys would undercount by up to 4x with a character count
+            # (ADVICE r2)
+            F.sum(F.octet_length(F.col("u").cast("string")).cast("long")
+                  + F.octet_length(F.col("v").cast("string")).cast("long")),
             F.lit(0),
         ).alias("bytes"),
     ).collect()[0]

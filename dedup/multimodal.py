@@ -101,6 +101,8 @@ def _decode_ppm(buf: bytes) -> np.ndarray | None:
             tokens.append(int(buf[start:pos]))
         pos += 1  # single whitespace after maxval
         w, h, maxval = tokens
+        if w <= 0 or h <= 0 or maxval <= 0:
+            return None  # header-valid but degenerate: not a decodable image
         ch = 3 if buf.startswith(b"P6") else 1
         raw = np.frombuffer(buf, dtype=np.uint8, count=w * h * ch, offset=pos)
         img = raw.reshape(h, w, ch).astype(np.float32) / float(maxval)
@@ -222,19 +224,27 @@ def _stub_features(buf: bytes) -> np.ndarray:
 
 
 def decode_features(buf: bytes, kind: str) -> tuple[np.ndarray, str]:
-    """One payload -> (FEATURE_DIM float32 vector, decoder name)."""
-    if kind == "image":
-        gray, dec = _decode_image(buf)
-        if gray is not None:
-            return _image_features(gray), dec
-    elif kind == "audio":
-        samples, dec = _decode_audio(buf)
-        if samples is not None:
-            return _audio_features(samples), dec
-    elif kind == "video":
-        pooled, dec = _decode_video(buf)
-        if pooled is not None:
-            return _image_features(pooled), dec
+    """One payload -> (FEATURE_DIM float32 vector, decoder name).
+
+    The catch-all makes the graceful-fallback contract hold for ANY byte
+    string (ADVICE r2): a malformed-but-header-plausible payload that crashes
+    a decoder or the feature extractor degrades to the deterministic stub
+    instead of failing the whole Spark task."""
+    try:
+        if kind == "image":
+            gray, dec = _decode_image(buf)
+            if gray is not None:
+                return _image_features(gray), dec
+        elif kind == "audio":
+            samples, dec = _decode_audio(buf)
+            if samples is not None:
+                return _audio_features(samples), dec
+        elif kind == "video":
+            pooled, dec = _decode_video(buf)
+            if pooled is not None:
+                return _image_features(pooled), dec
+    except Exception:
+        pass
     return _stub_features(buf), "stub"
 
 

@@ -45,7 +45,12 @@ _BAND_MUL = U64(0xFF51AFD7ED558CCD)
 # (reference: matrix/MatrixFamily.java:43-47)
 FAMILY_MINHASH = 130
 FAMILY_SIGBLOCK = 131
-SER_VER = 1
+# ser-ver 2: seed field widened 32 -> 64 bits (headers 24 -> 28 bytes); the
+# bump makes pre-widening checkpoint images fail fast with 'unsupported
+# ser-ver' instead of a misleading truncation/garbage downstream error
+# (ADVICE r2) — the reference's heapify discipline
+# (FrequentDirections.java:117-126: wrong ser-ver is rejected by name)
+SER_VER = 2
 MAGIC = 0x4D485348  # "MHSH"
 FLAG_EMPTY = 4      # same flag value the reference uses (PreambleUtil.java:79)
 

@@ -73,9 +73,13 @@ def ingest_stream(
                 cfg,
             ).groupBy("content_sha").agg(F.min("doc_key").alias("prior_key"))
             hit = rep_docs.join(prior, "content_sha")
+            # canonical orientation key_a < key_b (ADVICE r2): a new doc_key
+            # can sort below the checkpointed prior_key, and an unordered
+            # pair would survive read_stream_exact_pairs' distinct() in both
+            # orientations across epochs
             cross = hit.where(F.col("doc_key") != F.col("prior_key")).select(
-                F.col("prior_key").alias("key_a"),
-                F.col("doc_key").alias("key_b"),
+                F.least("prior_key", "doc_key").alias("key_a"),
+                F.greatest("prior_key", "doc_key").alias("key_b"),
             )
             exact_pairs = exact_pairs.unionByName(cross)
             rep_docs = rep_docs.join(prior, "content_sha", "left_anti")

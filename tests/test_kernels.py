@@ -213,6 +213,26 @@ class TestMinHashSketch:
         with pytest.raises(SketchCorruptionError):
             MinHashSketch.from_bytes(bytes(bad_magic))
 
+    def test_pre_widening_v1_image_rejected_by_name(self):
+        """ADVICE r2: the seed-widened wire layout (24 -> 28 byte header)
+        ships as ser-ver 2, so an old v1 image fails fast with 'unsupported
+        ser-ver' instead of a misleading truncation / garbage-row error."""
+        import struct
+
+        from dedup.sketches import FAMILY_MINHASH, FAMILY_SIGBLOCK, MAGIC
+
+        old_header = struct.Struct("<IBBBxiIq")  # seed was 32-bit in v1
+        mins = np.full(8, np.iinfo(np.uint64).max, dtype=np.uint64)
+        v1_minhash = old_header.pack(MAGIC, 1, FAMILY_MINHASH, 0, 8, 42, 3) \
+            + mins.tobytes()
+        with pytest.raises(SketchCorruptionError, match="ser-ver"):
+            MinHashSketch.from_bytes(v1_minhash)
+        from dedup.sketches import SignatureBlock
+
+        v1_block = old_header.pack(MAGIC, 1, FAMILY_SIGBLOCK, 0, 8, 42, 1) + b"\x00" * 64
+        with pytest.raises(SketchCorruptionError, match="ser-ver"):
+            SignatureBlock.from_bytes(v1_block)
+
 
 class TestSignatureBlock:
     @staticmethod

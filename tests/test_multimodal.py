@@ -153,6 +153,24 @@ class TestRealDecoders:
             v = np.array(r["embedding"], dtype=np.float32)
             assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-3
 
+    def test_malformed_header_valid_payloads_fall_back_not_crash(self):
+        """ADVICE r2: header-plausible but degenerate payloads (zero width/
+        height/maxval, truncated pixel data) must degrade to the stub — a
+        crash here would fail a whole Spark task for one bad asset."""
+        from dedup.multimodal import decode_features
+
+        bad = [
+            (b"P6 0 0 255 ", "image"),       # w=h=0: np.pad on empty axis
+            (b"P6 4 0 255 ", "image"),       # h=0
+            (b"P5 3 3 0 " + b"\x00" * 9, "image"),  # maxval=0: inf/nan feats
+            (b"P6 2 2 255 ", "video"),       # truncated frame stream
+            (b"RIFF....WAVE", "audio"),      # bogus RIFF
+        ]
+        for buf, kind in bad:
+            vec, dec = decode_features(buf, kind)
+            assert dec == "stub"
+            assert np.isfinite(vec).all() and vec.shape == (FEATURE_DIM,)
+
     def test_perceptual_near_dups_pair_resized_copy(self, spark):
         from dedup.multimodal import asset_near_dups
 

@@ -105,6 +105,9 @@ class TestStreamingIngest:
         assert any(copy_key in p for p in pairs), (
             "cross-batch exact pair missing from stream_exact_pairs"
         )
+        # canonical orientation (ADVICE r2): every pair is (min, max), so the
+        # same pair can never survive distinct() in both orientations
+        assert all(a < b for a, b in pairs)
 
     def test_watermarked_lang_counts_emit_on_window_close(self, spark, tmp_path):
         """Append-mode watermarked windowed aggregation: a window only emits
