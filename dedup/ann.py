@@ -108,6 +108,116 @@ def hyperplane_buckets(
     )
 
 
+HOT_BUCKET_MIN = 64    # buckets below this skip salting (one task is fine)
+DEFAULT_BUCKET_CAP = 2000  # same default discipline as DedupConfig.band_bucket_cap
+
+
+def bucket_join_sizes(cb: DataFrame, cap: int) -> tuple[DataFrame, DataFrame]:
+    """Two-pass bucket discipline for the vector-LSH joins, reusing
+    lsh.candidate_pairs' shape (dedup/lsh.py:93-123): pass 1 is the map-side
+    combinable count per bucket — partial counts shuffle, never members —
+    so over-cap buckets are identified and recorded BEFORE any join buffers
+    their rows. Returns (eligible sizes, dropped sizes). With n_bits=12
+    there are only 4096 buckets: one dense region at 10^9 vectors would
+    otherwise put 10^5+ rows in a single bucket and 10^10+ pairs in one
+    task (VERDICT r2 #1)."""
+    sizes = cb.groupBy("bucket").agg(F.count("*").alias("bucket_size"))
+    dropped = sizes.where(F.col("bucket_size") > cap)
+    eligible = sizes.where(F.col("bucket_size") <= cap)
+    return eligible, dropped
+
+
+def vector_lsh_audit(cb: DataFrame, cap: int) -> DataFrame:
+    """Compensative accounting for the vector-LSH path (the lsh_audit analog,
+    dedup/lsh.py:36-68): candidate rows dropped by the bucket cap are
+    surfaced, never silently lost. One row: (n_buckets, n_dropped_buckets,
+    eligible_rows, dropped_rows, row_recall_floor)."""
+    sizes = cb.groupBy("bucket").agg(F.count("*").alias("bucket_size"))
+    over = F.col("bucket_size") > cap
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum(over.cast("long")).alias("n_dropped_buckets"),
+        F.sum(F.when(~over, F.col("bucket_size")).otherwise(F.lit(0)))
+        .cast("long").alias("eligible_rows"),
+        F.sum(F.when(over, F.col("bucket_size")).otherwise(F.lit(0)))
+        .cast("long").alias("dropped_rows"),
+    ).withColumn(
+        "row_recall_floor",
+        F.round(
+            F.col("eligible_rows")
+            / F.greatest(F.col("eligible_rows") + F.col("dropped_rows"), F.lit(1)),
+            6,
+        ),
+    )
+
+
+def _salted_probe_join(q: DataFrame, c: DataFrame, cap: int, salts: int
+                       ) -> DataFrame:
+    """Query-candidate bucket join with the count-cap-salt discipline:
+    candidate buckets over `cap` are dropped (compensative: use
+    vector_lsh_audit to quantify), hot-but-eligible buckets spread their
+    candidates across `salts` tasks (candidate keeps one salt, query
+    replicates to all), cold buckets join plain at salt 0. Inputs must carry
+    a `bucket` column; output has both sides' columns minus bookkeeping."""
+    eligible, _ = bucket_join_sizes(c, cap)
+    hot = F.col("bucket_size") >= HOT_BUCKET_MIN
+    c2 = (
+        c.join(eligible, "bucket")
+        .withColumn(
+            "salt",
+            F.when(hot, F.pmod(F.xxhash64("neighbor_id"), F.lit(salts)).cast("int"))
+            .otherwise(F.lit(0)),
+        )
+        .drop("bucket_size")
+    )
+    q2 = (
+        q.join(eligible, "bucket")
+        .withColumn(
+            "salt",
+            F.explode(
+                F.when(hot, F.sequence(F.lit(0), F.lit(salts - 1)))
+                .otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .drop("bucket_size")
+    )
+    return q2.join(c2, ["bucket", "salt"]).drop("salt")
+
+
+def capped_bucket_self_join(f: DataFrame, id_col: str, cap: int,
+                            salts: int = 8) -> DataFrame:
+    """Within-bucket self-join (id_a < id_b) with the count-cap-salt
+    discipline over a (id, bucket, v) table — the vector-space analog of
+    lsh._salted_self_join. Cold buckets (< HOT_BUCKET_MIN rows) join plain
+    (bounded fan-out per key); hot-but-eligible buckets salt the left side
+    and replicate the right so one bucket spans `salts` tasks; over-cap
+    buckets are dropped before any member row is buffered."""
+    eligible, _ = bucket_join_sizes(f, cap)
+    rows = f.join(eligible, "bucket")
+    cold = rows.where(F.col("bucket_size") < HOT_BUCKET_MIN).drop("bucket_size")
+    hot = rows.where(F.col("bucket_size") >= HOT_BUCKET_MIN).drop("bucket_size")
+
+    def pairs(left: DataFrame, right: DataFrame, extra) -> DataFrame:
+        return left.alias("a").join(
+            right.alias("b"),
+            on=[F.col("a.bucket") == F.col("b.bucket"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}")] + extra,
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col("a.v").alias("v_a"),
+            F.col(f"b.{id_col}").alias("id_b"), F.col("b.v").alias("v_b"),
+        )
+
+    cold_pairs = pairs(cold, cold, [])
+    hot_left = hot.withColumn(
+        "salt", F.pmod(F.xxhash64(id_col), F.lit(salts)).cast("int")
+    )
+    hot_right = hot.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1)))
+    )
+    hot_pairs = pairs(hot_left, hot_right, [F.col("a.salt") == F.col("b.salt")])
+    return cold_pairs.unionByName(hot_pairs)
+
+
 def ivf_topk(
     queries: DataFrame, candidates: DataFrame, k: int = 5,
     n_centroids: int = 32, nprobe: int = 8, seed: int = 42,
@@ -193,10 +303,14 @@ def lsh_topk(
     queries: DataFrame, candidates: DataFrame, k: int = 5,
     n_bits: int = 12, dim: int = 64, seed: int = 42, multiprobe: bool = True,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    bucket_cap: int = DEFAULT_BUCKET_CAP, salts: int = 8,
 ) -> DataFrame:
     """Approximate top-k: score only candidates sharing a (multi-probed)
     hyperplane bucket with the query. Equi-join on bucket id — shuffles scale
-    with bucket sizes, not |Q| x |C|."""
+    with bucket sizes, not |Q| x |C|. The join goes through the count-cap-salt
+    discipline (VERDICT r2 #1): candidate buckets over `bucket_cap` are
+    dropped (quantify via vector_lsh_audit), hot buckets are salted so a
+    dense embedding region can't pin one task."""
     qb = hyperplane_buckets(queries, n_bits, dim, seed, id_col, vec_col)
     cb = hyperplane_buckets(candidates, n_bits, dim, seed, id_col, vec_col)
     if multiprobe:
@@ -216,7 +330,7 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
     ).join(cb.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
     scored = (
-        q.join(c, "bucket")
+        _salted_probe_join(q, c, bucket_cap, salts)
         .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("cos_raw", _cosine(F.col("qv"), F.col("cv")))
     )

@@ -290,12 +290,19 @@ def extract_features(assets: DataFrame) -> DataFrame:
 
 
 def asset_near_dups(assets: DataFrame, n_bits: int = 12, seed: int = 42,
-                    threshold: float = 0.92) -> DataFrame:
+                    threshold: float = 0.92, bucket_cap: int = 2000,
+                    salts: int = 8) -> DataFrame:
     """Perceptual near-duplicate pairs over decoded features: hyperplane-LSH
     buckets the unit vectors (dedup/ann.py path — one shuffle on bucket id,
     never all-pairs), cosine-verifies within buckets. A resized copy of an
-    image or a re-padded copy of an audio clip pairs with its original."""
-    from dedup.ann import _cosine, as_double, hyperplane_buckets
+    image or a re-padded copy of an audio clip pairs with its original.
+
+    The self-join goes through ann.capped_bucket_self_join (VERDICT r2 #1):
+    bucket counts first, over-cap buckets dropped before any member row is
+    buffered, hot-but-eligible buckets salted across `salts` tasks — a stub
+    decoder mapping many payloads near one another (or a dense perceptual
+    region: logo watermarks, silence) can't turn one bucket quadratic."""
+    from dedup.ann import _cosine, as_double, capped_bucket_self_join, hyperplane_buckets
 
     feats = extract_features(assets).select("asset_id", "embedding")
     b = hyperplane_buckets(feats, n_bits=n_bits, dim=FEATURE_DIM, seed=seed,
@@ -303,19 +310,12 @@ def asset_near_dups(assets: DataFrame, n_bits: int = 12, seed: int = 42,
     f = feats.select(
         F.col("asset_id"), as_double(F.col("embedding")).alias("v")
     ).join(b, "asset_id")
-    a2, b2 = f.alias("a"), f.alias("b")
     return (
-        a2.join(
-            b2,
-            on=[
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.col("a.asset_id") < F.col("b.asset_id"),
-            ],
-        )
+        capped_bucket_self_join(f, "asset_id", cap=bucket_cap, salts=salts)
         .select(
-            F.col("a.asset_id").alias("asset_a"),
-            F.col("b.asset_id").alias("asset_b"),
-            F.round(_cosine(F.col("a.v"), F.col("b.v")), 4).alias("cosine"),
+            F.col("id_a").alias("asset_a"),
+            F.col("id_b").alias("asset_b"),
+            F.round(_cosine(F.col("v_a"), F.col("v_b")), 4).alias("cosine"),
         )
         .where(F.col("cosine") >= threshold)
         .dropDuplicates(["asset_a", "asset_b"])

@@ -94,3 +94,89 @@ class TestBucketCap:
         assert len(seen) == len(rows), "pair produced more than once"
         assert len(seen) >= 0.95 * (n * (n - 1) / 2)
         assert all(r["key_a"] < r["key_b"] for r in rows)
+
+
+def _bucketed_vectors(spark, counts: dict[int, int]):
+    """(vec_id, bucket, v) rows: counts[bucket] near-identical unit vectors
+    per bucket (tiny per-id jitter so ids are distinguishable)."""
+    rows = []
+    for bucket, n in counts.items():
+        for i in range(n):
+            v = np.zeros(4)
+            v[bucket % 4] = 1.0
+            v[(bucket + 1) % 4] = 1e-6 * i
+            rows.append(
+                dict(vec_id=bucket * 1_000_000 + i, bucket=bucket,
+                     v=(v / np.linalg.norm(v)).tolist())
+            )
+    return spark.createDataFrame(pd.DataFrame(rows)).repartition(8)
+
+
+class TestVectorBucketCap:
+    """VERDICT r2 #1: the hyperplane-LSH bucket joins (ann.lsh_topk,
+    multimodal.asset_near_dups) must follow the same count-cap-salt
+    discipline as the text path."""
+
+    def test_degenerate_vector_bucket_dropped_before_join(self, spark):
+        from dedup.ann import capped_bucket_self_join
+
+        f = _bucketed_vectors(spark, {1: 5000, 2: 5})
+        pairs = capped_bucket_self_join(f, "vec_id", cap=100, salts=4)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        expect = {
+            (2_000_000 + i, 2_000_000 + j)
+            for i in range(5) for j in range(i + 1, 5)
+        }
+        assert got == expect, "cold bucket intact, degenerate bucket dropped"
+
+    def test_vector_audit_records_dropped_mass(self, spark):
+        from dedup.ann import vector_lsh_audit
+
+        f = _bucketed_vectors(spark, {1: 5000, 2: 5})
+        row = vector_lsh_audit(f.select("vec_id", "bucket"), cap=100).collect()[0]
+        assert row["n_buckets"] == 2
+        assert row["n_dropped_buckets"] == 1
+        assert row["dropped_rows"] == 5000
+        assert row["eligible_rows"] == 5
+
+    def test_hot_but_eligible_bucket_salted_pairs_once(self, spark):
+        from dedup.ann import HOT_BUCKET_MIN, capped_bucket_self_join
+
+        n = HOT_BUCKET_MIN + 36
+        f = _bucketed_vectors(spark, {3: n, 0: 3})
+        pairs = capped_bucket_self_join(f, "vec_id", cap=n + 50, salts=4)
+        rows = pairs.collect()
+        seen = {(r["id_a"], r["id_b"]) for r in rows}
+        assert len(seen) == len(rows), "pair produced more than once"
+        assert len(seen) == n * (n - 1) // 2 + 3, "every within-bucket pair exactly once"
+
+    def test_lsh_topk_bounded_by_cap_and_still_ranks(self, spark):
+        """End to end: a dense embedding region (one bucket holding most
+        candidates) is dropped at a small cap — the query still ranks the
+        surviving buckets, returns each neighbor once, and doesn't buffer
+        the degenerate bucket."""
+        from dedup.ann import lsh_topk
+
+        rng = np.random.default_rng(7)
+        dense = rng.standard_normal(8)
+        rows = [dict(vec_id=i, embedding=(dense + 1e-4 * rng.standard_normal(8)).tolist())
+                for i in range(100, 400)]  # 300 near-identical vectors
+        sparse = [dict(vec_id=i, embedding=rng.standard_normal(8).tolist())
+                  for i in range(400, 430)]
+        cand = spark.createDataFrame(pd.DataFrame(rows + sparse))
+        q = spark.createDataFrame(
+            pd.DataFrame([dict(vec_id=0, embedding=dense.tolist())])
+        )
+        got = lsh_topk(q, cand, k=5, n_bits=4, dim=8, bucket_cap=50,
+                       salts=4).collect()
+        ids = [r["neighbor_id"] for r in got]
+        assert len(ids) == len(set(ids)), "duplicate neighbors after salting"
+        assert all(r["neighbor_id"] >= 400 for r in got), (
+            "dropped dense bucket must not contribute neighbors"
+        )
+        # same call with a permissive cap routes the dense bucket through the
+        # salted path and recovers the true near-identical neighbors
+        full = lsh_topk(q, cand, k=5, n_bits=4, dim=8, bucket_cap=2000,
+                        salts=4).collect()
+        assert all(100 <= r["neighbor_id"] < 400 for r in full)
+        assert len({r["neighbor_id"] for r in full}) == 5
