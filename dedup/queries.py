@@ -510,6 +510,47 @@ FROM documents GROUP BY CUBE(lang, source)
 """
 
 
+def q_fd_frobenius(spark, sf_dir):
+    """ANALYTIC ORACLE for the FrequentDirections surface (VERDICT r2 #2):
+    on a no-compaction subset (per-group n <= k-1 rows, here vec_id < 24
+    with k=32, d=64) the buffer never shrinks, sv_adjustment stays 0 and the
+    k-th singular value is 0, so the compensative singular values equal the
+    EXACT singular values and their squared sum equals the Frobenius mass
+    sum(x^2) — which DuckDB computes as a plain SUM over unnested
+    embeddings. Exercises the full update -> serialize -> tree-merge ->
+    getSingularValues lifecycle (the same analytic-identity strategy as the
+    reference's own tests, FrequentDirectionsTest.java:181-244)."""
+    from dedup.fd import fd_singular_values
+
+    # weight each vector by (vec_id + 1): the driver embeddings are
+    # unit-norm, so the unweighted identity would degenerate to sum(sv^2)=n;
+    # the weighting makes the Frobenius mass a non-trivial data-dependent
+    # value the SVD must actually reproduce
+    e = _emb(spark, sf_dir).where(F.col("vec_id") < 24).select(
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double") * (F.col("vec_id") + 1).cast("double"),
+        ).alias("wemb"),
+    )
+    svs = fd_singular_values(e, "label", "wemb", k=32)
+    return svs.groupBy("group_key", "n").agg(
+        F.round(F.sum(F.col("sv_compensative") * F.col("sv_compensative")), 4)
+        .alias("frob")
+    )
+
+
+SQL_FD_FROBENIUS = """
+SELECT CAST(label AS VARCHAR) AS group_key,
+       CAST(count(DISTINCT vec_id) AS BIGINT) AS n,
+       round(sum(x * x * (vec_id + 1) * (vec_id + 1)), 4) AS frob
+FROM (
+  SELECT label, vec_id, unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings WHERE vec_id < 24
+) GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Rows-only queries (kernel semantics not expressible in ANSI SQL)
 # ---------------------------------------------------------------------------
@@ -743,6 +784,7 @@ QUERIES = {
     # FrequentDirections surface
     "fd_singular_values": q_fd_singular_values,
     "fd_projection": q_fd_projection,
+    "fd_frobenius": q_fd_frobenius,
     "dedup_audit": q_dedup_audit,
 }
 
@@ -765,4 +807,5 @@ ORACLES = {
     "substring_share64": SQL_SUBSTRING_SHARE64,
     "embedding_ann_ivf_exhaustive": SQL_EMBEDDING_ANN_IVF_EXHAUSTIVE,
     "corpus_cube": SQL_CORPUS_CUBE,
+    "fd_frobenius": SQL_FD_FROBENIUS,
 }

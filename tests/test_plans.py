@@ -61,6 +61,20 @@ class TestPlanInvariants:
         plan = physical_plan(verified_pairs(pairs, sigs, CFG))
         assert "BatchEvalPython" not in plan
 
+    def test_no_iterrows_in_engine(self):
+        """pdf.iterrows() is row-at-a-time pandas inside an Arrow batch —
+        the same hazard BatchEvalPython is banned for (VERDICT r2 #5).
+        Kernel loops must be per-group / per-image, never per-row."""
+        import pathlib
+
+        pkg = pathlib.Path(__file__).resolve().parent.parent / "dedup"
+        offenders = [
+            p.name for p in sorted(pkg.glob("*.py"))
+            for line in p.read_text().splitlines()
+            if ".iterrows()" in line and not line.lstrip().startswith("#")
+        ]
+        assert offenders == [], f"iterrows found in {offenders}"
+
     def test_tpch_q1_filter_pushdown(self, spark):
         from dedup.queries import q_tpch_q1
 
