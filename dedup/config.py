@@ -36,8 +36,9 @@ class DedupConfig:
     min_content_len: int = 1         # shorter content skips the signature stages
                                      # (still exact-deduped; singleton otherwise)
     substring_min_len: int = 512     # suffix-array pass: min verbatim block length
-    substring_chunk: int = 1 << 20   # suffix pass: per-side verification byte cap
-                                     # (longer sides are truncated — bounded task cost)
+    substring_chunk: int = 1 << 20   # suffix pass: verification window half-width
+                                     # around each matched-fingerprint anchor
+                                     # (bounded task cost at any doc size)
 
     def __post_init__(self) -> None:
         # fail fast, never coerce (reference: FrequentDirections.java:156-181,

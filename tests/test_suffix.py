@@ -81,3 +81,56 @@ class TestSubstringPass:
         # verification is exact — lcs_len >= min_len for every reported pair
         for r in found.collect():
             assert r["lcs_len"] >= cfg.substring_min_len
+
+    def test_shared_block_beyond_chunk_offset_found(self, spark):
+        """VERDICT r2 #3: a 512-char block shared at a >1 MiB offset inside
+        two ~4 MiB documents must be found — the old content-prefix
+        truncation silently rejected exactly this case. Offset-anchored
+        windows verify the block in place."""
+        rng = np.random.default_rng(17)
+
+        def rand_text(n):
+            return bytes(rng.integers(97, 123, size=n).astype(np.uint8)).decode()
+
+        block = rand_text(512)
+        doc_a = rand_text(3 << 20) + block + rand_text(1 << 20)   # block @ 3 MiB
+        doc_b = rand_text(2 << 20) + block + rand_text(2 << 20)   # block @ 2 MiB
+        pdf = pd.DataFrame(
+            {
+                "repo": ["r", "r"],
+                "path": ["big/a", "big/b"],
+                "commit": ["h", "h"],
+                "lang": ["en", "en"],
+                "content": [doc_a, doc_b],
+            }
+        )
+        cfg = DedupConfig()
+        assert cfg.substring_chunk == 1 << 20  # the regime being tested
+        df = key_docs(spark.createDataFrame(pdf))
+        rows = substring_pairs(df, cfg).collect()
+        assert len(rows) == 1, "shared block beyond the 1 MiB prefix missed"
+        assert rows[0]["lcs_len"] >= 512
+
+    def test_anchor_cap_bounds_work_on_near_identical_docs(self, spark):
+        """A pair sharing thousands of fingerprints retains at most
+        MAX_ANCHORS verification windows and still verifies."""
+        from dedup.suffix import MAX_ANCHORS, anchored_candidates, fingerprints
+
+        rng = np.random.default_rng(3)
+        base = bytes(rng.integers(97, 123, size=200_000).astype(np.uint8)).decode()
+        pdf = pd.DataFrame(
+            {
+                "repo": ["r", "r"],
+                "path": ["p/a", "p/b"],
+                "commit": ["h", "h"],
+                "lang": ["en", "en"],
+                "content": [base + "tail-a", "head-b" + base],
+            }
+        )
+        cfg = DedupConfig()
+        df = key_docs(spark.createDataFrame(pdf))
+        anc = anchored_candidates(fingerprints(df, cfg), cfg).collect()
+        assert len(anc) == 1
+        assert len(anc[0]["anchors"]) <= MAX_ANCHORS
+        rows = substring_pairs(df, cfg).collect()
+        assert len(rows) == 1 and rows[0]["lcs_len"] >= 200_000 - 1
