@@ -551,6 +551,158 @@ FROM (
 """
 
 
+def _planted_near_corpus(spark, sf_dir, n_plant: int = 25):
+    """Corpus with near-verbatim copies planted: for each distinct-content
+    doc with doc_id < n_plant, a copy under path near/... with a leading
+    space prepended. The shingle tokenizer normalizes whitespace, so the
+    copy has a DIFFERENT content sha (it survives the exact-dedup fold) but
+    an IDENTICAL token stream — MinHash Jaccard exactly 1 and SimHash
+    Hamming exactly 0 — so candidate generation, verification and the
+    SimHash radius join must each recover every planted pair
+    deterministically, and SQL enumerates the planted ids exactly."""
+    d = _docs(spark, sf_dir)
+    base = d.where(F.col("doc_id") < n_plant)
+    reps = base.groupBy(F.sha2(_txt(), 256).alias("sha")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    copies = base.join(reps.select("doc_id"), "doc_id").select(
+        F.lit("src").alias("repo"),
+        F.format_string("near/%012d", "doc_id").alias("path"),
+        F.lit("head").alias("commit"),
+        "lang",
+        F.concat(F.lit(" "), _txt()).alias("content"),
+    )
+    return documents_as_corpus(spark, sf_dir).unionByName(copies)
+
+
+def _planted_pair_ids(pairs: DataFrame, keyed: DataFrame) -> DataFrame:
+    """doc_ids whose (doc/..., near/...) planted pair appears in `pairs`."""
+    ids = keyed.select(
+        "doc_key",
+        F.regexp_extract("path", r"^(doc|near)/(\d+)$", 1).alias("kind"),
+        F.regexp_extract("path", r"^(doc|near)/(\d+)$", 2)
+        .cast("bigint")
+        .alias("doc_id"),
+    )
+    p = (
+        pairs.join(
+            ids.select(
+                F.col("doc_key").alias("key_a"),
+                F.col("kind").alias("kind_a"),
+                F.col("doc_id").alias("id_a"),
+            ),
+            "key_a",
+        )
+        .join(
+            ids.select(
+                F.col("doc_key").alias("key_b"),
+                F.col("kind").alias("kind_b"),
+                F.col("doc_id").alias("id_b"),
+            ),
+            "key_b",
+        )
+    )
+    return (
+        p.where((F.col("id_a") == F.col("id_b")) & (F.col("kind_a") != F.col("kind_b")))
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+    )
+
+
+_SQL_PLANTED_IDS = """
+SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+FROM documents
+WHERE doc_id < 25
+GROUP BY sha256(coalesce(text, ''))
+"""
+
+
+def q_candidate_planted_recall(spark, sf_dir):
+    """RECALL ORACLE for LSH candidate generation (VERDICT r2 #4): every
+    planted whitespace-mutated copy (identical token stream, different sha)
+    must surface as a candidate pair with its original — all 16 bands
+    collide by construction. SQL enumerates the planted ids."""
+    corpus = _planted_near_corpus(spark, sf_dir)
+    keyed = key_docs(corpus)
+    rep_docs, _ = exact_stage(keyed)
+    rep_docs = signature_input(rep_docs, CFG)
+    sigs = compute_signatures(rep_docs, CFG).localCheckpoint(eager=False)
+    pairs, _ = candidate_pairs(compute_bands(sigs, CFG), CFG)
+    return _planted_pair_ids(pairs, keyed)
+
+
+def q_verified_planted_recall(spark, sf_dir):
+    """RECALL ORACLE for the verify stage: the planted whitespace-mutated
+    pairs carry estimated Jaccard exactly 1, so every one must survive
+    signature verification at any threshold."""
+    corpus = _planted_near_corpus(spark, sf_dir)
+    keyed = key_docs(corpus)
+    rep_docs, _ = exact_stage(keyed)
+    rep_docs = signature_input(rep_docs, CFG)
+    sigs = compute_signatures(rep_docs, CFG).localCheckpoint(eager=False)
+    pairs, _ = candidate_pairs(compute_bands(sigs, CFG), CFG)
+    return _planted_pair_ids(verified_pairs(pairs, sigs, CFG), keyed)
+
+
+def q_simhash_planted_recall(spark, sf_dir):
+    """RECALL ORACLE for the SimHash path: the planted whitespace-mutated
+    copies have identical shingle streams, so fingerprints match at Hamming
+    0 — every planted pair must fall within the radius join."""
+    corpus = _planted_near_corpus(spark, sf_dir)
+    keyed = key_docs(corpus)
+    rep_docs, _ = exact_stage(keyed)
+    rep_docs = signature_input(rep_docs, CFG)
+    sigs = compute_signatures(rep_docs, CFG)
+    return _planted_pair_ids(simhash_candidate_pairs(sigs, CFG), keyed)
+
+
+SQL_CANDIDATE_PLANTED_RECALL = _SQL_PLANTED_IDS
+SQL_VERIFIED_PLANTED_RECALL = _SQL_PLANTED_IDS
+SQL_SIMHASH_PLANTED_RECALL = _SQL_PLANTED_IDS
+
+
+def q_minhash_band_parity(spark, sf_dir):
+    """ROW-PARITY ORACLE for the band table (VERDICT r2 #4): exactly
+    cfg.bands rows per signature-eligible representative — pure SQL over
+    documents given min_content_len."""
+    return q_minhash_bands(spark, sf_dir).agg(F.count("*").alias("n_bands"))
+
+
+SQL_MINHASH_BAND_PARITY = f"""
+SELECT CAST({CFG.bands} * count(DISTINCT sha256(coalesce(text, ''))) AS BIGINT)
+       AS n_bands
+FROM documents
+WHERE length(coalesce(text, '')) >= {CFG.min_content_len}
+"""
+
+
+def q_corpus_sketch_counts(spark, sf_dir):
+    """COUNT-PARITY ORACLE for the mergeable corpus sketch: the per-language
+    merged MinHash sketch's n equals the number of signature-eligible
+    representatives of that language (lang is content-determined in this
+    corpus, so SQL counts distinct shas per lang)."""
+    from dedup.minhash import minhash_sketch_by_group
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    keyed = key_docs(corpus)
+    rep_docs, _ = exact_stage(keyed)
+    rep_docs = signature_input(rep_docs, CFG)
+    sigs = compute_signatures(rep_docs, CFG)
+    langs = keyed.select("doc_key", "lang")
+    return minhash_sketch_by_group(sigs.join(langs, "doc_key"), "lang", CFG).select(
+        "group_key", "n_docs"
+    )
+
+
+SQL_CORPUS_SKETCH_COUNTS = f"""
+SELECT lang AS group_key,
+       CAST(count(DISTINCT sha256(coalesce(text, ''))) AS BIGINT) AS n_docs
+FROM documents
+WHERE length(coalesce(text, '')) >= {CFG.min_content_len}
+GROUP BY lang
+"""
+
+
 # ---------------------------------------------------------------------------
 # Rows-only queries (kernel semantics not expressible in ANSI SQL)
 # ---------------------------------------------------------------------------
@@ -786,6 +938,12 @@ QUERIES = {
     "fd_projection": q_fd_projection,
     "fd_frobenius": q_fd_frobenius,
     "dedup_audit": q_dedup_audit,
+    # planted-recall + parity oracles (VERDICT r2 #4)
+    "candidate_planted_recall": q_candidate_planted_recall,
+    "verified_planted_recall": q_verified_planted_recall,
+    "simhash_planted_recall": q_simhash_planted_recall,
+    "minhash_band_parity": q_minhash_band_parity,
+    "corpus_sketch_counts": q_corpus_sketch_counts,
 }
 
 ORACLES = {
@@ -808,4 +966,9 @@ ORACLES = {
     "embedding_ann_ivf_exhaustive": SQL_EMBEDDING_ANN_IVF_EXHAUSTIVE,
     "corpus_cube": SQL_CORPUS_CUBE,
     "fd_frobenius": SQL_FD_FROBENIUS,
+    "candidate_planted_recall": SQL_CANDIDATE_PLANTED_RECALL,
+    "verified_planted_recall": SQL_VERIFIED_PLANTED_RECALL,
+    "simhash_planted_recall": SQL_SIMHASH_PLANTED_RECALL,
+    "minhash_band_parity": SQL_MINHASH_BAND_PARITY,
+    "corpus_sketch_counts": SQL_CORPUS_SKETCH_COUNTS,
 }
