@@ -235,8 +235,19 @@ def ivf_topk(
     """
     import numpy as np
 
+    # deterministic bounded sample (VERDICT r2 #6): limit() without ordering
+    # takes whatever partitions answer first, so the quantizer would differ
+    # across partition layouts; ordering by a hash of the id is a seeded
+    # pseudo-random draw that is reproducible on any cluster layout
     sample = np.vstack(
-        [r[0] for r in candidates.select(vec_col).limit(sample_rows).collect()]
+        [
+            r[0]
+            for r in candidates.select(F.col(vec_col), F.col(id_col))
+            .orderBy(F.xxhash64(id_col), F.col(id_col))
+            .limit(sample_rows)
+            .select(vec_col)
+            .collect()
+        ]
     ).astype(np.float64)
     sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

@@ -35,6 +35,26 @@ class TestANN:
         full = ivf_topk(q, c, k=3, n_centroids=8, nprobe=8).collect()
         assert sorted(map(tuple, exact)) == sorted(map(tuple, full))
 
+    def test_ivf_quantizer_partition_invariant(self, spark, emb):
+        """VERDICT r2 #6: the centroid training sample is a seeded
+        hash-ordered draw, so the IVF result (incl. recall at nprobe <
+        n_centroids) is identical across input partition layouts."""
+        q = emb.where(F.col("vec_id") < 10)
+        c = emb.where(F.col("vec_id") >= 10)
+        base = sorted(
+            map(tuple, ivf_topk(q, c, k=5, n_centroids=16, nprobe=4).collect())
+        )
+        shuffled = sorted(
+            map(
+                tuple,
+                ivf_topk(
+                    q.repartition(13), c.repartition(17), k=5,
+                    n_centroids=16, nprobe=4,
+                ).collect(),
+            )
+        )
+        assert base == shuffled
+
     def test_lsh_candidates_subset_and_ranked(self, spark, emb):
         """Hyperplane LSH on near-random data is recall-limited by the data
         (documented); check structural contract: results are valid candidates
