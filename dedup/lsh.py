@@ -90,6 +90,13 @@ def candidate_pairs(
     that survives the sha-exact pre-fold) therefore costs one counter, never
     a multi-GB collect_set buffer.
     """
+    # the band table is consumed by BOTH passes (bucket counts + the member
+    # join) and each pass would otherwise re-run the upstream banding kernel
+    # through Python — ReuseExchange does not fire across the differing join
+    # shapes (measured 2x on the flagship). localCheckpoint materializes the
+    # 24-byte-per-row band table once, without the plan-cache aliasing
+    # hazard a persist() inside a library operator would create.
+    bands_df = bands_df.localCheckpoint(eager=False)
     sizes = bucket_sizes(bands_df)
     # no persist here: within one action Catalyst reuses the aggregation
     # across the dropped/eligible branches, and persisting inside the
