@@ -8,13 +8,14 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 Implementation lives in the ``dedup`` package (SURVEY.md §7):
 oracle-checked queries cover the SQL-expressible stages (exact dedup,
 text quality/language/token ops, shingle counts, exact n-gram Jaccard,
-embedding kNN, relational agg/join/window layers) plus ten invariant
-oracles that pin the kernel pipelines from the SQL side (planted-copy
-cluster containment, canonical min-member labels, substring share-64
-exact pair parity, exhaustive-probe IVF == brute force, the
-FrequentDirections Frobenius identity, planted-recall checks for the
-LSH candidate / verify / SimHash stages, band-table row parity and
-per-language sketch-count parity); rows-only queries cover the
+embedding kNN, relational agg/join/window layers) plus thirteen
+invariant oracles that pin the kernel pipelines from the SQL side
+(planted-copy cluster containment, canonical min-member labels,
+substring share-64 exact pair parity, exhaustive-probe IVF == brute
+force, the FrequentDirections Frobenius and projection-norm
+identities, planted-recall checks for the LSH candidate / verify /
+SimHash / vector-LSH / perceptual-asset stages, band-table row parity
+and per-language sketch-count parity); rows-only queries cover the
 remaining kernel stages (MinHash bands, LSH candidates, verified
 pairs, clusters, SimHash pairs, fingerprints, LSH/IVF-ANN,
 FrequentDirections spectrum/projection, multimodal features and

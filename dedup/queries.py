@@ -703,6 +703,101 @@ GROUP BY lang
 """
 
 
+def q_asset_planted_recall(spark, sf_dir):
+    """RECALL ORACLE for the perceptual near-dup path: byte-identical copies
+    of the first 50 assets decode to identical feature vectors (every
+    decoder, including the stub, is content-keyed), land in the same
+    hyperplane bucket and score cosine 1.0 — each must pair with its
+    original through the capped/salted bucket join."""
+    from dedup.multimodal import asset_near_dups, assets_from_documents
+
+    docs = _docs(spark, sf_dir)
+    assets = assets_from_documents(docs)
+    copies = assets_from_documents(docs.where(F.col("doc_id") < 50)).withColumn(
+        "asset_id", F.concat(F.lit("copy-"), F.col("asset_id"))
+    )
+    dups = asset_near_dups(assets.unionByName(copies))
+    return (
+        dups.where(
+            F.col("asset_b") == F.concat(F.lit("copy-"), F.col("asset_a"))
+        )
+        .select(
+            F.regexp_extract("asset_a", r"(\d+)", 1).cast("bigint").alias("doc_id")
+        )
+        .distinct()
+    )
+
+
+SQL_ASSET_PLANTED_RECALL = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents WHERE doc_id < 50
+"""
+
+
+def q_ann_lsh_planted_recall(spark, sf_dir):
+    """RECALL ORACLE for hyperplane-LSH top-k: an exact duplicate of each
+    query vector is planted among the candidates (identical vector ==
+    identical bucket, cosine exactly 1.0), so it must come back as the
+    rank-1 neighbor for every query."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    q = e.where(F.col("vec_id") < 10)
+    planted = q.select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    c = e.where(F.col("vec_id") >= 10).unionByName(planted)
+    res = lsh_topk(q, c, k=1)
+    return res.where(F.col("rank") == 1).select(
+        "query_id", "neighbor_id", "cosine"
+    )
+
+
+SQL_ANN_LSH_PLANTED_RECALL = """
+SELECT vec_id AS query_id,
+       vec_id + 100000 AS neighbor_id,
+       round(1.0, 4) AS cosine
+FROM embeddings WHERE vec_id < 10
+"""
+
+
+def q_fd_projection_norms(spark, sf_dir):
+    """ANALYTIC ORACLE for the FD projection path: on the no-compaction
+    subset (24 weighted rows, k=32, FULL SVD) every input row lies in the
+    sketch buffer's row space and Vt is orthonormal with completions
+    orthogonal to it, so projecting x onto Vt[:k-1] preserves its squared
+    norm exactly: ||Vt[:31] x||^2 = ||x||^2 = (vec_id+1)^2 * ||e||^2 —
+    which DuckDB computes directly. Pins sketch-by-group, serialization,
+    get_projection_matrix and the broadcast matmul end to end."""
+    from dedup.fd import SVD_FULL, FrequentDirections, fd_project, fd_sketch_by_group
+
+    e = _emb(spark, sf_dir).where(F.col("vec_id") < 24).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: x.cast("double") * (F.col("vec_id") + 1).cast("double"),
+        ).alias("wemb"),
+    )
+    img = fd_sketch_by_group(
+        e, F.lit("all"), "wemb", k=32, algo=SVD_FULL
+    ).collect()[0]
+    fd = FrequentDirections.from_bytes(bytes(img["payload"]), algo=SVD_FULL)
+    proj = fd.get_projection_matrix()[:31]
+    norm_sq = F.aggregate(
+        F.transform("proj", lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return fd_project(e, "vec_id", "wemb", proj).select(
+        "vec_id", F.round(norm_sq, 4).alias("norm_sq")
+    )
+
+
+SQL_FD_PROJECTION_NORMS = """
+SELECT vec_id,
+       round(sum(x * x * (vec_id + 1) * (vec_id + 1)), 4) AS norm_sq
+FROM (
+  SELECT vec_id, unnest(embedding::DOUBLE[]) AS x
+  FROM embeddings WHERE vec_id < 24
+) GROUP BY vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Rows-only queries (kernel semantics not expressible in ANSI SQL)
 # ---------------------------------------------------------------------------
@@ -944,6 +1039,9 @@ QUERIES = {
     "simhash_planted_recall": q_simhash_planted_recall,
     "minhash_band_parity": q_minhash_band_parity,
     "corpus_sketch_counts": q_corpus_sketch_counts,
+    "asset_planted_recall": q_asset_planted_recall,
+    "ann_lsh_planted_recall": q_ann_lsh_planted_recall,
+    "fd_projection_norms": q_fd_projection_norms,
 }
 
 ORACLES = {
@@ -971,4 +1069,7 @@ ORACLES = {
     "simhash_planted_recall": SQL_SIMHASH_PLANTED_RECALL,
     "minhash_band_parity": SQL_MINHASH_BAND_PARITY,
     "corpus_sketch_counts": SQL_CORPUS_SKETCH_COUNTS,
+    "asset_planted_recall": SQL_ASSET_PLANTED_RECALL,
+    "ann_lsh_planted_recall": SQL_ANN_LSH_PLANTED_RECALL,
+    "fd_projection_norms": SQL_FD_PROJECTION_NORMS,
 }
