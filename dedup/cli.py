@@ -8,6 +8,13 @@ Reads (repo, path, commit, lang, content) rows, writes `clusters`
 (doc_key, cluster_id) plus checkpoint/metrics/lineage tables under --output.
 Re-running with --output pointing at a previous (possibly killed) run resumes
 from the signature checkpoints automatically.
+
+With --stream, the input directory is consumed through Structured Streaming
+(AvailableNow) with INCREMENTAL LSH candidate maintenance: re-invoking after
+new corpus files land ingests only the new documents, bands only the new
+signatures, and pairs them against the accumulated band state — per-run work
+scales with the new data, and clusters are rebuilt from the accumulated pair
+tables.
 """
 
 from __future__ import annotations
@@ -27,6 +34,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--jaccard-threshold", type=float, default=0.7)
     ap.add_argument("--master", default=None)
+    ap.add_argument("--stream", action="store_true",
+                    help="incremental Structured Streaming ingest (AvailableNow)")
+    ap.add_argument("--stream-checkpoint", default=None,
+                    help="streaming checkpoint dir (default: <output>/_stream_ckpt)")
     args = ap.parse_args(argv)
 
     from dedup.config import DedupConfig
@@ -43,9 +54,16 @@ def main(argv: list[str] | None = None) -> int:
         jaccard_threshold=args.jaccard_threshold,
     )
     spark = get_spark("dedup-cli", master=args.master)
-    df = spark.read.parquet(args.input)
     wh = Warehouse(spark, args.output)
-    clusters = run_dedup(spark, df, cfg, warehouse=wh)
+    if args.stream:
+        from dedup.streaming import ingest_stream, stream_clusters
+
+        ckpt = args.stream_checkpoint or f"{args.output}/_stream_ckpt"
+        ingest_stream(spark, args.input, wh, cfg, ckpt)
+        clusters = stream_clusters(spark, wh, cfg)
+    else:
+        df = spark.read.parquet(args.input)
+        clusters = run_dedup(spark, df, cfg, warehouse=wh)
     n = clusters.count()
     n_clusters = clusters.select("cluster_id").distinct().count()
     print(f"docs={n} clusters={n_clusters} warehouse={args.output}")

