@@ -320,6 +320,84 @@ LIMIT 10
 """
 
 
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5-style local-supplier revenue: six-table join (region →
+    nation → supplier/customer → orders → lineitem) with broadcast dims,
+    filter pushdown on region name and order date, DECIMAL-exact agg —
+    the multi-way join-reordering surface."""
+    rd = lambda t: spark.read.parquet(f"{sf_dir}/{t}.parquet")
+    region = rd("region").where(F.col("r_name") == "ASIA")
+    nation, supplier = rd("nation"), rd("supplier")
+    customer, orders, lineitem = rd("customer"), rd("orders"), rd("lineitem")
+    o = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+    j = (
+        lineitem.join(o, lineitem.l_orderkey == o.o_orderkey)
+        .join(customer, o.o_custkey == customer.c_custkey)
+        .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.sum(price * disc).cast("double").alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_part_brand_revenue(spark, sf_dir):
+    """Per-brand shipped revenue: fact-to-dim broadcast join over the part
+    table + DECIMAL-exact aggregation."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = (F.lit(1.0) - F.col("l_discount")).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(price * disc).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+            F.round(F.avg(F.col("p_retailprice").cast("double")), 4)
+            .alias("avg_retail"),
+        )
+    )
+
+
+SQL_PART_BRAND_REVENUE = """
+SELECT p_brand,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items,
+       round(avg(CAST(p_retailprice AS DOUBLE)), 4) AS avg_retail
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
 def q_events_window(spark, sf_dir):
     """First 3 events per user by time — window-function layer."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1004,6 +1082,8 @@ QUERIES = {
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_knn": q_embedding_knn,
     "tpch_q1": q_tpch_q1,
+    "tpch_q5": q_tpch_q5,
+    "part_brand_revenue": q_part_brand_revenue,
     "top_customers": q_top_customers,
     "events_window": q_events_window,
     "user_event_stats": q_user_event_stats,
@@ -1054,6 +1134,8 @@ ORACLES = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "embedding_knn": SQL_EMBEDDING_KNN,
     "tpch_q1": SQL_TPCH_Q1,
+    "tpch_q5": SQL_TPCH_Q5,
+    "part_brand_revenue": SQL_PART_BRAND_REVENUE,
     "top_customers": SQL_TOP_CUSTOMERS,
     "events_window": SQL_EVENTS_WINDOW,
     "user_event_stats": SQL_USER_EVENT_STATS,
