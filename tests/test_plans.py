@@ -75,6 +75,29 @@ class TestPlanInvariants:
         ]
         assert offenders == [], f"iterrows found in {offenders}"
 
+    def test_tpch_q5_broadcast_dims_and_pushdown(self, spark):
+        """Six-table join: dims broadcast, region/date filters reach the
+        scans (no filter evaluated post-join that a scan could absorb)."""
+        from dedup.queries import q_tpch_q5
+
+        plan = physical_plan(q_tpch_q5(spark, SF))
+        assert "BroadcastHashJoin" in plan
+        assert "EqualTo(r_name,ASIA)" in plan, "region filter not pushed"
+        assert "GreaterThanOrEqual(o_orderdate" in plan, "date filter not pushed"
+        assert "CartesianProduct" not in plan
+
+    def test_vector_lsh_join_never_cartesian(self, spark):
+        """The capped/salted bucket join must stay an equi-join: no
+        cartesian/broadcast-nested-loop anywhere in lsh_topk's plan."""
+        from dedup.ann import lsh_topk
+
+        e = spark.read.parquet(f"{SF}/embeddings.parquet")
+        plan = physical_plan(
+            lsh_topk(e.where(F.col("vec_id") < 5), e.where(F.col("vec_id") >= 5))
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_tpch_q1_filter_pushdown(self, spark):
         from dedup.queries import q_tpch_q1
 
