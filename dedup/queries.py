@@ -258,6 +258,40 @@ FROM scored WHERE rank <= 5
 """
 
 
+def q_embedding_cosine_pairs(spark, sf_dir):
+    """Exact embedding-cosine near-duplicate pairs (task brief: embedding-
+    cosine near-dup as a dedup mode) on a bounded id range: all pairs with
+    rounded cosine >= 0.28 among vec_id < 200 — the exact-similarity
+    verifier the ANN paths are audited against, JVM zip_with/aggregate
+    expressions only. The threshold predicate applies to the ROUNDED value
+    in both engines so the comparison is bit-identical."""
+    from dedup.ann import _cosine, as_double
+
+    e = _emb(spark, sf_dir).where(F.col("vec_id") < 200).select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(_cosine(F.col("a.v"), F.col("b.v")), 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.28)
+    )
+
+
+SQL_EMBEDDING_COSINE_PAIRS = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 200 AND b.vec_id < 200
+  AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) >= 0.28
+"""
+
+
 def q_tpch_q1(spark, sf_dir):
     """TPC-H Q1-style pricing summary — relational agg layer. DECIMAL-exact
     sums in both engines, surfaced as double."""
@@ -1081,6 +1115,7 @@ QUERIES = {
     "kernel_shingle_parity": q_kernel_shingle_parity,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "embedding_knn": q_embedding_knn,
+    "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "tpch_q1": q_tpch_q1,
     "tpch_q5": q_tpch_q5,
     "part_brand_revenue": q_part_brand_revenue,
@@ -1133,6 +1168,7 @@ ORACLES = {
     "kernel_shingle_parity": SQL_KERNEL_SHINGLE_PARITY,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "embedding_knn": SQL_EMBEDDING_KNN,
+    "embedding_cosine_pairs": SQL_EMBEDDING_COSINE_PAIRS,
     "tpch_q1": SQL_TPCH_Q1,
     "tpch_q5": SQL_TPCH_Q5,
     "part_brand_revenue": SQL_PART_BRAND_REVENUE,
