@@ -96,6 +96,39 @@ class TestBucketCap:
         assert all(r["key_a"] < r["key_b"] for r in rows)
 
 
+class TestSimHashBucketCap:
+    def _sigs(self, spark, counts: dict[int, int]):
+        """(doc_key, simhash) rows: counts[h] docs per fingerprint value."""
+        rows = [
+            dict(doc_key=f"h{h}-{i:06d}", simhash=np.int64(h))
+            for h, n in counts.items()
+            for i in range(n)
+        ]
+        return spark.createDataFrame(pd.DataFrame(rows)).repartition(8)
+
+    def test_degenerate_fingerprint_dropped(self, spark):
+        from dedup.simhash import simhash_candidate_pairs
+
+        cfg = DedupConfig(band_bucket_cap=100)
+        sigs = self._sigs(spark, {0: 5000, 7: 4})
+        got = {(r["key_a"], r["key_b"])
+               for r in simhash_candidate_pairs(sigs, cfg).collect()}
+        assert got == {
+            (f"h7-{i:06d}", f"h7-{j:06d}")
+            for i in range(4) for j in range(i + 1, 4)
+        }, "cold fingerprint pairs intact, degenerate value dropped"
+
+    def test_hot_but_eligible_salted_complete(self, spark):
+        from dedup.simhash import simhash_candidate_pairs
+
+        n = HOT_BUCKET_MIN + 20
+        cfg = DedupConfig(band_bucket_cap=n + 50)
+        sigs = self._sigs(spark, {3: n})
+        got = {(r["key_a"], r["key_b"])
+               for r in simhash_candidate_pairs(sigs, cfg).collect()}
+        assert len(got) == n * (n - 1) // 2, "salted path must keep every pair"
+
+
 def _bucketed_vectors(spark, counts: dict[int, int]):
     """(vec_id, bucket, v) rows: counts[bucket] near-identical unit vectors
     per bucket (tiny per-id jitter so ids are distinguishable)."""
