@@ -29,6 +29,9 @@ BENCH_QUERIES = [
     "doc_fingerprints",
     "substring_pairs",     # suffix pass: fingerprints + hash-verify
     "fd_singular_values",  # FrequentDirections partial+merge aggregation
+    "tpch_q5",             # six-table broadcast-dim join
+    "simhash_pairs",       # pigeonhole block join (capped + salted)
+    "asset_near_dups",     # multimodal decode + perceptual LSH bucket join
 ]
 
 

@@ -29,10 +29,11 @@ Modules:
     ann        — embedding similarity search (brute-force / IVF / LSH)
     textops    — language ID, quality scoring, token stats, fingerprints
     multimodal — binary asset columns, decoder ladder, perceptual near-dups
-    streaming  — incremental ingest (foreachBatch + cross-batch exact fold)
+    streaming  — incremental ingest (foreachBatch + cross-batch exact fold
+                 + incremental LSH candidate maintenance)
 """
 
 from dedup.config import DedupConfig
 
 __all__ = ["DedupConfig"]
-__version__ = "0.2.0"
+__version__ = "0.3.0"
