@@ -123,6 +123,34 @@ FROM documents
 """
 
 
+def q_subword_stats(spark, sf_dir):
+    """Per-document BPE-ish subword counts (task brief: token counting =
+    whitespace + a BPE-ish regex) plus the subword/whitespace-token ratio —
+    the standard token-budget estimator for training-data pipelines."""
+    from dedup.textops import subword_count
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        subword_count(F.col("text")).cast("bigint").alias("n_subwords"),
+        F.round(
+            subword_count(F.col("text")).cast("double")
+            / F.greatest(token_count(F.col("text")), F.lit(1)).cast("double"),
+            6,
+        ).alias("subwords_per_token"),
+    )
+
+
+SQL_SUBWORD_STATS = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords,
+       round(CAST(len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS DOUBLE)
+             / CAST(greatest(len(regexp_split_to_array(trim(coalesce(text,'')), '\s+')), 1) AS DOUBLE), 6)
+       AS subwords_per_token
+FROM documents
+"""
+
+
 def q_language_guess(spark, sf_dir):
     """Marker-stopword language ID heuristic, aggregated."""
     d = _docs(spark, sf_dir).withColumn("guess", language_guess(_txt()))
@@ -1110,6 +1138,7 @@ QUERIES = {
     "exact_dup_groups": q_exact_dup_groups,
     "token_stats": q_token_stats,
     "doc_quality": q_doc_quality,
+    "subword_stats": q_subword_stats,
     "language_guess": q_language_guess,
     "token_shingles": q_token_shingles,
     "kernel_shingle_parity": q_kernel_shingle_parity,
@@ -1163,6 +1192,7 @@ ORACLES = {
     "exact_dup_groups": SQL_EXACT_DUP_GROUPS,
     "token_stats": SQL_TOKEN_STATS,
     "doc_quality": SQL_DOC_QUALITY,
+    "subword_stats": SQL_SUBWORD_STATS,
     "language_guess": SQL_LANGUAGE_GUESS,
     "token_shingles": SQL_TOKEN_SHINGLES,
     "kernel_shingle_parity": SQL_KERNEL_SHINGLE_PARITY,

@@ -29,6 +29,23 @@ def token_count(text: Column) -> Column:
     return F.size(F.split(F.trim(F.coalesce(text, F.lit(""))), r"\s+"))
 
 
+# BPE-ish pre-tokenizer (the GPT-2 pattern's ASCII core): letter runs,
+# digit runs, and single non-alphanumeric marks each become one piece —
+# the standard subword-budget estimator when no tokenizer model is loaded.
+# Kept to a dialect-neutral regex (identical semantics in Java and RE2) so
+# the DuckDB oracle can mirror it exactly.
+BPE_PIECE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def subword_count(text: Column) -> Column:
+    """BPE-ish piece count over the text — JVM regexp, codegen'd."""
+    return F.size(
+        F.regexp_extract_all(
+            F.coalesce(text, F.lit("")), F.lit(BPE_PIECE_PATTERN), F.lit(0)
+        )
+    )
+
+
 def punct_count(text: Column) -> Column:
     return F.length(
         F.regexp_replace(F.coalesce(text, F.lit("")), r"[^.,;:!?]", "")
