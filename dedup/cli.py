@@ -60,7 +60,10 @@ def main(argv: list[str] | None = None) -> int:
 
         ckpt = args.stream_checkpoint or f"{args.output}/_stream_ckpt"
         ingest_stream(spark, args.input, wh, cfg, ckpt)
-        clusters = stream_clusters(spark, wh, cfg)
+        # same warehouse contract as batch mode: the clusters table is
+        # (re)written under --output after every ingest round
+        wh.write(stream_clusters(spark, wh, cfg), "clusters", cfg.config_hash())
+        clusters = wh.read("clusters")
     else:
         df = spark.read.parquet(args.input)
         clusters = run_dedup(spark, df, cfg, warehouse=wh)

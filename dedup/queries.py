@@ -143,8 +143,8 @@ def q_subword_stats(spark, sf_dir):
 
 SQL_SUBWORD_STATS = r"""
 SELECT doc_id,
-       CAST(len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_subwords,
-       round(CAST(len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS DOUBLE)
+       CAST(len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\t\n\x0B\f\r ]')) AS BIGINT) AS n_subwords,
+       round(CAST(len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\t\n\x0B\f\r ]')) AS DOUBLE)
              / CAST(greatest(len(regexp_split_to_array(trim(coalesce(text,'')), '\s+')), 1) AS DOUBLE), 6)
        AS subwords_per_token
 FROM documents

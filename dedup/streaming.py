@@ -14,9 +14,11 @@ INCREMENTAL (VERDICT r2 #7): each round bands only the NEW signatures, finds
 new-vs-new pairs through the capped generator and new-vs-old pairs through an
 equi-join against the accumulated band table, then appends the new bands —
 per-round pair-generation work scales with the batch, not the corpus. The
-combined (old + new) bucket size gates both paths, so a bucket that grows
-over the cap stops emitting pairs exactly like the batch path would drop it.
-Clustering folds the accumulated pair tables (cheap: pairs only).
+combined (old + new) bucket size gates both paths: a bucket that grows over
+the cap stops emitting NEW pairs; pairs emitted while it was under the cap
+are retained (a batch run over the final corpus would drop the whole bucket
+— documented divergence, see stream_clusters). Clustering folds the
+accumulated pair tables (cheap: pairs only).
 """
 
 from __future__ import annotations
@@ -42,14 +44,17 @@ BAND_TABLE = "checkpoint_bands"
 def _incremental_candidates(
     new_sigs: DataFrame, wh: Warehouse, cfg: DedupConfig, epoch_id: int
 ) -> DataFrame:
-    """Band the NEW signatures and return this round's candidate pairs:
-    new-vs-new via the capped/salted generator plus new-vs-old via one
-    equi-join against the accumulated band table. Appends the new bands to
-    the checkpoint afterwards, so each pair is discovered exactly once — in
-    the round its LATER member arrives. Returns (key_a, key_b, n_bands_hit).
-    """
+    """Band the NEW signatures and return this round's candidate pairs plus
+    the band rows to commit: new-vs-new via the capped/salted generator plus
+    new-vs-old via one equi-join against the accumulated band table — each
+    pair is discovered in the round its LATER member is banded. The CALLER
+    appends the returned bands after persisting the pairs (crash-ordering).
+    Returns ((key_a, key_b, n_bands_hit), band_rows)."""
     cfg_hash = cfg.config_hash()
     new_bands = compute_bands(new_sigs, cfg).localCheckpoint(eager=True)
+    return_bands = new_bands.withColumn(
+        "config_hash", F.lit(cfg_hash)
+    ).withColumn("epoch", F.lit(int(epoch_id)))
     old = None
     if wh.exists(BAND_TABLE):
         old = wh.read(BAND_TABLE).where(F.col("config_hash") == cfg_hash).select(
@@ -92,15 +97,10 @@ def _incremental_candidates(
     else:
         pairs, _ = candidate_pairs(new_bands, cfg)
     # materialize the pair set BEFORE this round's bands land in the table:
-    # `old` was listed pre-append, but an eager checkpoint removes any
-    # re-listing hazard for downstream consumers
+    # `old` was listed pre-append, and the caller appends the verified pairs
+    # before committing the bands (crash-ordering: see ingest_stream)
     pairs = pairs.localCheckpoint(eager=True)
-    wh.append(
-        new_bands.withColumn("config_hash", F.lit(cfg_hash))
-        .withColumn("epoch", F.lit(int(epoch_id))),
-        BAND_TABLE,
-    )
-    return pairs
+    return pairs, return_bands
 
 
 def ingest_stream(
@@ -157,15 +157,21 @@ def ingest_stream(
             rep_docs = rep_docs.join(prior, "content_sha", "left_anti")
 
         # restrict_to_input=False: the accumulated checkpoint is the state;
-        # consumers read it whole (batch semantics don't apply per micro-batch)
+        # consumers read it whole (batch semantics don't apply per micro-batch).
+        # The append runs inside; the returned frame is a lazy decode of the
+        # checkpoint table — no O(corpus) copy per micro-batch.
         all_sigs = signatures_with_resume(
             rep_docs, cfg, wh, restrict_to_input=False
-        ).localCheckpoint(eager=True)  # materialize append + reuse below
+        )
 
-        # incremental LSH (VERDICT r2 #7): band only the signatures not yet
-        # in the accumulated band table (idempotent under epoch retries),
-        # pair them against old state, verify, append
-        new_keys = rep_docs.select("doc_key")
+        # incremental LSH (VERDICT r2 #7): band every SIGNED doc not yet in
+        # the accumulated band table. Deriving the work-list from the
+        # signature checkpoint (not from this batch's rep_docs) makes crash
+        # recovery self-healing: if a previous epoch died between the
+        # signature append and the band append, its docs are signed but
+        # unbanded, the cross-batch sha fold hides them from rep_docs on
+        # replay, and ONLY this anti-join still picks them up.
+        new_keys = all_sigs.select("doc_key")
         if wh.exists(BAND_TABLE):
             banded = (
                 wh.read(BAND_TABLE)
@@ -175,7 +181,11 @@ def ingest_stream(
             )
             new_keys = new_keys.join(banded, "doc_key", "left_anti")
         new_sigs = all_sigs.join(new_keys, "doc_key", "left_semi")
-        pairs = _incremental_candidates(new_sigs, wh, cfg, epoch_id)
+        pairs, new_bands = _incremental_candidates(new_sigs, wh, cfg, epoch_id)
+        # crash-ordering: pairs FIRST, bands LAST. The band append is the
+        # commit point — a crash in between leaves the docs unbanded, so the
+        # next epoch recomputes their pairs (duplicates are deduped on read,
+        # the same at-least-once discipline as stream_exact_pairs).
         wh.append(
             verified_pairs(pairs, all_sigs, cfg)
             .withColumn("epoch", F.lit(int(epoch_id))),
@@ -185,6 +195,10 @@ def ingest_stream(
             exact_pairs.withColumn("epoch", F.lit(int(epoch_id))),
             "stream_exact_pairs",
         )
+        # every ingested doc_key (pre exact-fold, pre length filter) so
+        # cluster readers can attach singletons exactly like the batch path
+        wh.append(keyed.select("doc_key"), "stream_doc_keys")
+        wh.append(new_bands, BAND_TABLE)
         wh.record_lineage(
             "stream_ingest", cfg.config_hash(), f"epoch-{epoch_id}",
             rows=batch_df.count(), table="checkpoint_signatures",
@@ -215,25 +229,24 @@ def stream_clusters(spark: SparkSession, wh: Warehouse, cfg: DedupConfig
                     ) -> DataFrame:
     """(doc_key, cluster_id) over everything ingested so far: union-find on
     the accumulated exact + verified pair tables, singletons attached from
-    the signature checkpoint and exact-pair members. Matches run_dedup's
-    labels on the same corpus (canonical min-member ids) — the incremental
-    rounds discover exactly the pair set the batch pipeline generates."""
+    the full ingested doc_key log (stream_doc_keys), so every ingested doc
+    is labeled exactly like run_dedup's attach_singletons — including docs
+    below min_content_len that never reach the signature stage.
+
+    Label parity with the batch pipeline holds when no band bucket crosses
+    band_bucket_cap BETWEEN rounds: a bucket that grows over the cap stops
+    emitting NEW pairs (combined-size gate), but pairs it emitted while
+    under the cap are retained, whereas a batch run over the final corpus
+    drops that bucket entirely. This is the documented at-least-once
+    divergence of incremental maintenance; the retained pairs are real
+    verified near-dups, so recall never regresses — only the cap's
+    pair-suppression is weaker than batch."""
     from dedup.cluster import attach_singletons, connected_components
-    from dedup.pipeline import SIG_STAGE, decode_signature_blocks
 
     edges = read_stream_exact_pairs(wh)
     if wh.exists("stream_verified_pairs"):
         edges = edges.unionByName(read_stream_verified_pairs(wh))
-    sigs = decode_signature_blocks(
-        wh.read("checkpoint_signatures").where(
-            (F.col("stage") == SIG_STAGE)
-            & (F.col("config_hash") == cfg.config_hash())
-        ),
-        cfg,
-    ).dropDuplicates(["doc_key"])
-    members = sigs.select("doc_key").unionByName(
-        edges.select(F.col("key_a").alias("doc_key"))
-    ).unionByName(edges.select(F.col("key_b").alias("doc_key"))).distinct()
+    members = wh.read("stream_doc_keys").select("doc_key").distinct()
     comps = connected_components(edges)
     return attach_singletons(comps, members)
 

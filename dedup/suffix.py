@@ -74,10 +74,13 @@ MAX_ANCHORS = 8  # verified offset-anchor windows per candidate pair
 def fingerprints(df: DataFrame, cfg: DedupConfig,
                  key_col: str = "doc_key", content_col: str = "content") -> DataFrame:
     """(doc_key, fp_hash, fp_off) — sampled rolling-hash fingerprints with
-    the BYTE offset of the window inside the doc's utf-8 stream; first
-    occurrence per (doc, hash). Offsets anchor verification windows so a
-    shared block at any position is verified in place instead of hoping it
-    falls inside a content prefix (VERDICT r2 #3)."""
+    the BYTE offset of the window inside the doc's utf-8 stream; FIRST and
+    LAST occurrence per (doc, hash). Offsets anchor verification windows so
+    a shared block at any position is verified in place instead of hoping
+    it falls inside a content prefix (VERDICT r2 #3). Keeping both
+    endpoints (not just the first) means a gram that also occurs outside
+    the shared block still anchors the block unless EVERY sampled gram of
+    the block is duplicated both before and after it."""
     p = _sample_p(cfg.substring_min_len)
 
     def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -102,8 +105,14 @@ def fingerprints(df: DataFrame, cfg: DedupConfig,
                     "fp_hash": win[sel].view(np.int64),
                     "fp_off": sel - offsets[docs],  # doc-relative byte offset
                 }
-            ).drop_duplicates(subset=["doc_key", "fp_hash"], keep="first")
-            yield d
+            )
+            keys = ["doc_key", "fp_hash"]
+            yield pd.concat(
+                [
+                    d.drop_duplicates(subset=keys, keep="first"),
+                    d.drop_duplicates(subset=keys, keep="last"),
+                ]
+            ).drop_duplicates()
 
     return df.select(key_col, content_col).mapInPandas(fp, FP_SCHEMA)
 
@@ -114,23 +123,6 @@ def _eligible_fp(fp_df: DataFrame, cfg: DedupConfig) -> DataFrame:
     sizes = fp_df.groupBy("fp_hash").agg(F.count("*").alias("sz"))
     eligible = sizes.where((F.col("sz") >= 2) & (F.col("sz") <= cfg.band_bucket_cap))
     return fp_df.join(eligible.select("fp_hash"), "fp_hash")
-
-
-def substring_candidates(fp_df: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Distinct (key_a, key_b) sharing >= 1 sampled fingerprint."""
-    b = _eligible_fp(fp_df, cfg)
-    a2, b2 = b.alias("a"), b.alias("b")
-    return (
-        a2.join(
-            b2,
-            on=[
-                F.col("a.fp_hash") == F.col("b.fp_hash"),
-                F.col("a.doc_key") < F.col("b.doc_key"),
-            ],
-        )
-        .select(F.col("a.doc_key").alias("key_a"), F.col("b.doc_key").alias("key_b"))
-        .distinct()
-    )
 
 
 def anchored_candidates(fp_df: DataFrame, cfg: DedupConfig,
@@ -343,12 +335,15 @@ def substring_pairs(
     Verification is OFFSET-ANCHORED (VERDICT r2 #3): each candidate pair
     carries up to `max_anchors` matched-fingerprint offset pairs, and the
     exact LCS search runs on +-substring_chunk byte windows around each
-    anchor instead of a content prefix. A shared block at ANY position is
-    covered by construction — its own fingerprints anchor it — so two 10 MB
-    docs sharing a 512-char block at offset 5 MB verify correctly; per-pair
-    cost stays bounded at max_anchors * 2*chunk bytes. For docs shorter than
-    the chunk the window covers the whole content, so lcs_len is the exact
-    global LCS there (the substring_share64 oracle regime)."""
+    anchor instead of a content prefix. A shared block at ANY byte offset
+    anchors itself through its own sampled grams — two 10 MB docs sharing a
+    512-char block at offset 5 MB verify correctly — unless every one of
+    its sampled grams ALSO occurs both before and after it (fingerprints
+    keep first+last occurrence per gram) or the anchor cap drops all of its
+    grams; per-pair cost stays bounded at max_anchors * 2*chunk bytes. For
+    docs shorter than the chunk the window covers the whole content, so
+    lcs_len is the exact global LCS there (the substring_share64 oracle
+    regime)."""
     # the candidate join consumes the fingerprint table on BOTH sides of the
     # bucket-size pass; localCheckpoint materializes the kernel output once
     # (fp rows are tiny vs content) without the plan-cache aliasing hazard a

@@ -32,9 +32,10 @@ def token_count(text: Column) -> Column:
 # BPE-ish pre-tokenizer (the GPT-2 pattern's ASCII core): letter runs,
 # digit runs, and single non-alphanumeric marks each become one piece —
 # the standard subword-budget estimator when no tokenizer model is loaded.
-# Kept to a dialect-neutral regex (identical semantics in Java and RE2) so
-# the DuckDB oracle can mirror it exactly.
-BPE_PIECE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+# The whitespace class is spelled out explicitly because \s itself is NOT
+# dialect-neutral: Java includes \x0B (vertical tab), RE2 does not — an
+# explicit class gives identical semantics in Spark and the DuckDB oracle.
+BPE_PIECE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\t\n\x0B\f\r ]"
 
 
 def subword_count(text: Column) -> Column:

@@ -120,8 +120,8 @@ class TestStreamingIngest:
         from dedup.streaming import BAND_TABLE, stream_clusters
 
         pdf, _ = make_corpus(n_base=40, seed=77)
-        pdf = pdf[pdf["content"].str.len() > 0].reset_index(drop=True)
-        # shuffle so planted near-dup pairs straddle the two arrival rounds
+        # no content filtering: docs that skip the signature stage must
+        # still come back as singletons, exactly like batch attach_singletons
         pdf = pdf.sample(frac=1.0, random_state=3).reset_index(drop=True)
         half = len(pdf) // 2
         in_dir = str(tmp_path / "in3")
@@ -164,6 +164,45 @@ class TestStreamingIngest:
         }
         assert got == want, "incremental clusters diverge from batch pipeline"
 
+    def test_recovery_rebands_signed_but_unbanded_docs(self, spark, tmp_path):
+        """Crash-ordering regression: an epoch that died AFTER appending
+        signatures but BEFORE appending pairs/bands leaves docs signed but
+        unbanded; on replay the cross-batch sha fold hides them from
+        rep_docs, so the band work-list must come from the signature
+        checkpoint itself or the pairs are lost forever."""
+        from dedup.pipeline import run_dedup
+        from dedup.streaming import BAND_TABLE, stream_clusters
+
+        pdf, _ = make_corpus(n_base=30, seed=11)
+        half = len(pdf) // 2
+        in_dir = str(tmp_path / "in4")
+        os.makedirs(in_dir)
+        wh = Warehouse(spark, str(tmp_path / "wh4"))
+        ckpt = str(tmp_path / "ck4")
+
+        spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        ingest_stream(spark, in_dir, wh, CFG, ckpt)
+        # simulate the crash window: signatures landed, pairs/bands did not
+        wh.drop(BAND_TABLE)
+        wh.drop("stream_verified_pairs")
+
+        spark.createDataFrame(pdf.iloc[half:]).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        ingest_stream(spark, in_dir, wh, CFG, ckpt)
+
+        got = {
+            r["doc_key"]: r["cluster_id"]
+            for r in stream_clusters(spark, wh, CFG).collect()
+        }
+        want = {
+            r["doc_key"]: r["cluster_id"]
+            for r in run_dedup(spark, spark.createDataFrame(pdf), CFG).collect()
+        }
+        assert got == want, "recovery lost pairs for signed-but-unbanded docs"
+
     def test_cli_stream_mode(self, spark, tmp_path, monkeypatch):
         """spark-submit surface: --stream consumes the input incrementally
         and prints cluster stats; a second invocation after new files is a
@@ -181,7 +220,8 @@ class TestStreamingIngest:
         assert main(["--input", in_dir, "--output", out, "--stream"]) == 0
         wh = Warehouse(spark, out)
         assert wh.exists("checkpoint_bands")
-        assert wh.exists("stream_verified_pairs") or True  # may be empty dir
+        assert wh.exists("stream_verified_pairs")
+        assert wh.exists("clusters"), "--stream must write the clusters table"
         # second run over the same files: offsets consumed, nothing re-banded
         bands_before = wh.read("checkpoint_bands").count()
         assert main(["--input", in_dir, "--output", out, "--stream"]) == 0
