@@ -27,7 +27,12 @@ def get_spark(
     gc_opts = os.environ.get(
         "SPARK_GC_OPTS", "-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2"
     )
-    # make the repo importable by the worker daemon so it can preload kernels
+    # make the repo importable by the worker daemon so it can preload
+    # kernels. The env mutation covers the python-launches-JVM path; the
+    # executorEnv conf covers spark-submit (JVM already running, its env
+    # frozen) — pyspark folds spark.executorEnv.* into the daemon's
+    # environment in every deploy mode, and zipimport resolves the package
+    # when `repo` is a --py-files dedup.zip
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.environ["PYTHONPATH"] = (
         repo + os.pathsep + os.environ.get("PYTHONPATH", "")
@@ -41,6 +46,7 @@ def get_spark(
         # inherit them copy-on-write instead of importing per worker (~25s of
         # first-stage warm-up at local[32] otherwise)
         .config("spark.python.daemon.module", "dedup.worker_daemon")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         # dims like (content_sha -> rep_key) are tens of MB at bench scale;

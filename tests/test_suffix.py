@@ -111,6 +111,35 @@ class TestSubstringPass:
         assert len(rows) == 1, "shared block beyond the 1 MiB prefix missed"
         assert rows[0]["lcs_len"] >= 512
 
+    def test_two_blocks_in_different_tiles_reports_longest(self, spark):
+        """Two shared blocks living in DIFFERENT chunk tiles exercise the
+        multi-window cross-product verify: the pair must report the longer
+        block's length even though each block anchors a different JVM-cut
+        window."""
+        rng = np.random.default_rng(23)
+
+        def rand_text(n):
+            return bytes(rng.integers(97, 123, size=n).astype(np.uint8)).decode()
+
+        short = rand_text(600)
+        long = rand_text(1500)
+        doc_a = rand_text(1 << 20) + short + rand_text(2 << 20) + long + rand_text(1 << 19)
+        doc_b = rand_text(1 << 19) + long + rand_text(2 << 20) + short + rand_text(1 << 20)
+        pdf = pd.DataFrame(
+            {
+                "repo": ["r", "r"],
+                "path": ["two/a", "two/b"],
+                "commit": ["h", "h"],
+                "lang": ["en", "en"],
+                "content": [doc_a, doc_b],
+            }
+        )
+        cfg = DedupConfig()
+        df = key_docs(spark.createDataFrame(pdf))
+        rows = substring_pairs(df, cfg).collect()
+        assert len(rows) == 1
+        assert rows[0]["lcs_len"] >= 1500
+
     def test_anchor_cap_bounds_work_on_near_identical_docs(self, spark):
         """A pair sharing thousands of fingerprints retains at most
         MAX_ANCHORS verification windows and still verifies."""
