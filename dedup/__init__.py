@@ -31,6 +31,9 @@ Modules:
     multimodal — binary asset columns, decoder ladder, perceptual near-dups
     streaming  — incremental ingest (foreachBatch + cross-batch exact fold
                  + incremental LSH candidate maintenance)
+    kmv        — KMV distinct-count sketch: JVM-only batch dup-rate audit
+                 (exact below k) + applyInPandasWithState streaming
+                 per-key dedup-rate monitor with bounded mergeable state
 """
 
 from dedup.config import DedupConfig

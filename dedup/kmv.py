@@ -1,0 +1,171 @@
+"""KMV (k-minimum-values) distinct-count sketch: batch + stateful streaming.
+
+The datasketches theme of the reference — a small mergeable summary whose
+query is exact in a degenerate regime and error-bounded otherwise
+(FrequentDirections keeps 2k rows and is exact while n <= 2k,
+/root/reference/src/main/java/org/apache/datasketches/vector/decomposition/FrequentDirections.java:164-199)
+— applied to distinct counting: keep the k smallest 64-bit hash values of a
+column. With fewer than k distinct hashes the sketch IS the distinct set
+(exact count); at k it estimates D ≈ (k-1)/u where u is the k-th minimum
+normalized to [0,1) (Bar-Yossef et al. 2002; the same estimator family as
+the Apache DataSketches theta sketch). The sketch is a sorted long array —
+trivially mergeable (union, keep k smallest), bounded at 8k bytes per key.
+
+Two surfaces:
+
+- `lang_distinct_kmv`: batch per-group duplication audit, pure JVM — a
+  row_number window over xxhash64 keeps the k smallest distinct hashes per
+  group; no Python, no collect_set blowup (the shuffle carries 16-byte
+  (group, hash) rows, never content). Oracle: with every group under k
+  distinct values the estimate is exactly COUNT(DISTINCT content), which
+  DuckDB computes directly — the same exact-regime strategy as the
+  fd_frobenius no-compaction oracle.
+
+- `streaming_distinct_by_key`: the custom STATEFUL streaming operator
+  (applyInPandasWithState): per-key state is the KMV array + row count,
+  folded across micro-batches; each batch emits the key's updated
+  (n_rows, est_distinct, dup_rate). State is bounded at k longs per key
+  regardless of stream length — the property that makes the operator safe
+  on an unbounded 100 TB ingest.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_K = 1024
+
+
+def kmv_estimate(n_in_sketch: int, kth_hash: int, k: int) -> float:
+    """Distinct-count estimate from a KMV sketch over SIGNED int64 hashes.
+
+    Exact (= n_in_sketch) while the sketch holds fewer than k values;
+    otherwise (k-1)/u with u = the k-th minimum mapped from [-2^63, 2^63)
+    onto [0,1). The streaming path calls this directly; the batch path
+    implements the identical formula in SQL, and a property test pins the
+    two equal on shared inputs.
+    """
+    if n_in_sketch < k:
+        return float(n_in_sketch)
+    u = (float(kth_hash) + 2.0**63) / 2.0**64
+    return (k - 1) / max(u, 1e-300)
+
+
+def kmv_fold(mins: np.ndarray, new_hashes: np.ndarray, k: int) -> np.ndarray:
+    """Merge new hash values into a sorted KMV array (union of distinct
+    values, keep the k smallest) — the sketch's mergeable update."""
+    return np.unique(np.concatenate([mins, new_hashes]))[:k]
+
+
+def lang_distinct_kmv(
+    df: DataFrame,
+    group_col: str = "lang",
+    content_col: str = "content",
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """(group, n_docs, est_distinct, dup_rate) per group via a KMV sketch
+    built entirely JVM-side.
+
+    distinct() dedups (group, hash) with one shuffle of 16-byte rows; the
+    row_number window keeps the k smallest per group (the sort key is the
+    hash — uniform, so no skew beyond group sizes, which AQE splits). At
+    10^12 rows the plan never materializes a per-group value set larger
+    than k and never shuffles content.
+    """
+    from pyspark.sql import Window
+
+    hashed = df.select(
+        F.col(group_col).alias("grp"), F.xxhash64(F.col(content_col)).alias("h")
+    )
+    n = hashed.groupBy("grp").agg(F.count("*").alias("n_docs"))
+    dh = hashed.distinct()
+    w = Window.partitionBy("grp").orderBy("h")
+    sk = (
+        dh.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .groupBy("grp")
+        .agg(F.count("*").alias("n_in"), F.max("h").alias("kth"))
+    )
+    u = (F.col("kth").cast("double") + F.lit(2.0**63)) / F.lit(2.0**64)
+    est = F.when(F.col("n_in") < k, F.col("n_in").cast("double")).otherwise(
+        F.lit(float(k - 1)) / u
+    )
+    return (
+        n.join(sk, "grp")
+        .withColumn("est_distinct", est.cast("long"))
+        .withColumn(
+            "dup_rate",
+            F.round(
+                F.lit(1.0)
+                - F.col("est_distinct").cast("double") / F.col("n_docs"),
+                6,
+            ),
+        )
+        .select(F.col("grp").alias(group_col), "n_docs", "est_distinct",
+                "dup_rate")
+    )
+
+
+STREAM_OUT_SCHEMA = (
+    "key string, n_rows bigint, est_distinct bigint, dup_rate double"
+)
+STREAM_STATE_SCHEMA = "mins array<bigint>, n bigint"
+
+
+def streaming_distinct_by_key(
+    stream: DataFrame,
+    key_col: str = "repo",
+    content_col: str = "content",
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Stateful streaming dedup-rate monitor: per-key KMV folded across
+    micro-batches with applyInPandasWithState.
+
+    Each batch updates the key's (sorted k-minimum hashes, row count) state
+    and emits (key, n_rows, est_distinct, dup_rate) — est_distinct counts
+    distinct content values seen across the WHOLE stream so far, exact
+    below k. State is 8k bytes + a long per key forever, so the operator
+    holds on an unbounded ingest; hashing happens JVM-side before the
+    stateful exchange, so state updates never see content bytes.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    hashed = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.xxhash64(F.col(content_col)).alias("h"),
+    )
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            prev_mins, n = state.get
+            mins = np.asarray(prev_mins, dtype=np.int64)
+        else:
+            mins, n = np.empty(0, dtype=np.int64), 0
+        for pdf in pdfs:
+            n += len(pdf)
+            mins = kmv_fold(mins, pdf["h"].to_numpy(np.int64), k)
+        state.update((mins.tolist(), n))
+        est = int(kmv_estimate(len(mins), int(mins[-1]) if len(mins) else 0, k))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "n_rows": [n],
+                "est_distinct": [est],
+                "dup_rate": [round(1.0 - est / max(n, 1), 6)],
+            }
+        )
+
+    return hashed.groupBy("key").applyInPandasWithState(
+        update,
+        outputStructType=STREAM_OUT_SCHEMA,
+        stateStructType=STREAM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -499,6 +499,28 @@ FROM events GROUP BY user_id
 """
 
 
+def q_lang_distinct_kmv(spark, sf_dir):
+    """Per-language duplication audit via the KMV distinct-count sketch
+    (dedup/kmv.py), built entirely JVM-side. EXACT-REGIME ORACLE: with
+    k=1024 above every per-language distinct count at sf<=0.01 the sketch
+    holds the full distinct hash set, so est_distinct equals
+    COUNT(DISTINCT content) — the same degenerate-regime strategy as the
+    fd_frobenius oracle (exact while the summary hasn't compacted)."""
+    from dedup.kmv import lang_distinct_kmv
+
+    return lang_distinct_kmv(documents_as_corpus(spark, sf_dir))
+
+
+SQL_LANG_DISTINCT_KMV = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT coalesce(text, '')) AS BIGINT) AS est_distinct,
+       ROUND(1.0 - CAST(count(DISTINCT coalesce(text, '')) AS DOUBLE)
+                   / count(*), 6) AS dup_rate
+FROM documents GROUP BY lang
+"""
+
+
 def q_cluster_sha_containment(spark, sf_dir):
     """INVARIANT ORACLE for the flagship pipeline: verbatim copies are
     planted (docs with id < 50 duplicated under a different path, so a
@@ -1167,6 +1189,7 @@ QUERIES = {
     "multimodal_features": q_multimodal_features,
     "asset_near_dups": q_asset_near_dups,
     # invariant-oracle queries (kernel pipelines pinned from the SQL side)
+    "lang_distinct_kmv": q_lang_distinct_kmv,
     "cluster_sha_containment": q_cluster_sha_containment,
     "cluster_canonical_labels": q_cluster_canonical_labels,
     "substring_share64": q_substring_share64,
@@ -1206,6 +1229,7 @@ ORACLES = {
     "events_window": SQL_EVENTS_WINDOW,
     "user_event_stats": SQL_USER_EVENT_STATS,
     "asset_exact_dups": SQL_ASSET_EXACT_DUPS,
+    "lang_distinct_kmv": SQL_LANG_DISTINCT_KMV,
     "cluster_sha_containment": SQL_CLUSTER_SHA_CONTAINMENT,
     "cluster_canonical_labels": SQL_CLUSTER_CANONICAL_LABELS,
     "substring_share64": SQL_SUBSTRING_SHARE64,
