@@ -154,7 +154,46 @@ class TestPlanInvariants:
         )
         assert "BatchEvalPython" not in plan
 
-    def test_multimodal_features_prunes_metadata(self, spark):
+    def test_substring_pair_shuffles_never_carry_content(self, spark, corpus):
+        """Per-pair content shipping is the substring pass's 100TB hazard:
+        content may shuffle once per DOC (the doc-side join exchanges) but
+        never on a per-PAIR row, and only bounded JVM-cut windows may cross
+        the Arrow boundary. Broadcast is disabled so the sort-merge shape —
+        the one a real corpus takes — is what's inspected."""
+        import re
+
+        from dedup.suffix import substring_pairs
+
+        conf = spark.conf
+        old_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+        old_aqe = conf.get("spark.sql.adaptive.enabled")
+        try:
+            conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            conf.set("spark.sql.adaptive.enabled", "false")
+            df = substring_pairs(key_docs(corpus), DedupConfig(substring_min_len=64))
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        finally:
+            conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+            conf.set("spark.sql.adaptive.enabled", old_aqe)
+        exchanges = re.findall(
+            r"\(\d+\) Exchange[^\n]*\nInput \[\d+\]: \[([^\]]*)\]", plan
+        )
+        assert exchanges, plan
+        for cols in exchanges:
+            is_pair_row = "key_a" in cols and "key_b" in cols
+            assert not (is_pair_row and "content" in cols), cols
+        # two kernels: fingerprints (reads content per DOC — fine) and the
+        # pair-row verify, which must see only the JVM-cut windows
+        mps = re.findall(r"\(\d+\) MapInPandas[^\n]*\nInput \[\d+\]: \[([^\]]*)\]",
+                         plan)
+        pair_mps = [cols for cols in mps if "key_b" in cols]
+        assert pair_mps, plan
+        for cols in pair_mps:
+            assert "content" not in cols and "wins_a" in cols, cols
         """Only (asset_id, kind, payload) reach the decode UDF — the media
         metadata struct stays JVM-side (binary column pruning)."""
         from dedup.multimodal import assets_from_documents, extract_features
