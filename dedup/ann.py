@@ -158,7 +158,11 @@ def _salted_probe_join(q: DataFrame, c: DataFrame, cap: int, salts: int
     vector_lsh_audit to quantify), hot-but-eligible buckets spread their
     candidates across `salts` tasks (candidate keeps one salt, query
     replicates to all), cold buckets join plain at salt 0. Inputs must carry
-    a `bucket` column; output has both sides' columns minus bookkeeping."""
+    a `bucket` column; output has both sides' columns minus bookkeeping.
+    The candidate table feeds both the size pass and the join; it is
+    localCheckpoint-materialized once (the query side is consumed once and
+    stays lazy)."""
+    c = c.localCheckpoint(eager=False)
     eligible, _ = bucket_join_sizes(c, cap)
     hot = F.col("bucket_size") >= HOT_BUCKET_MIN
     c2 = (
@@ -191,7 +195,14 @@ def capped_bucket_self_join(f: DataFrame, id_col: str, cap: int,
     lsh._salted_self_join. Cold buckets (< HOT_BUCKET_MIN rows) join plain
     (bounded fan-out per key); hot-but-eligible buckets salt the left side
     and replicate the right so one bucket spans `salts` tasks; over-cap
-    buckets are dropped before any member row is buffered."""
+    buckets are dropped before any member row is buffered.
+
+    The (id, bucket, v) table is consumed by the size pass plus all four
+    join branches; localCheckpoint materializes it once so upstream kernels
+    (e.g. the multimodal decode behind asset features) don't re-run per
+    branch — same discipline as the band/block tables in lsh.py/simhash.py
+    (eager=False: computed at the first action, no plan-cache aliasing)."""
+    f = f.localCheckpoint(eager=False)
     eligible, _ = bucket_join_sizes(f, cap)
     rows = f.join(eligible, "bucket")
     cold = rows.where(F.col("bucket_size") < HOT_BUCKET_MIN).drop("bucket_size")

@@ -304,7 +304,15 @@ def asset_near_dups(assets: DataFrame, n_bits: int = 12, seed: int = 42,
     region: logo watermarks, silence) can't turn one bucket quadratic."""
     from dedup.ann import _cosine, as_double, capped_bucket_self_join, hyperplane_buckets
 
-    feats = extract_features(assets).select("asset_id", "embedding")
+    # decode once: the feature table feeds both the bucketizer and the
+    # vector join; without materialization every branch of the capped
+    # self-join would re-run the payload decode kernel (measured 24
+    # MapInPandas instances in the physical plan at sf0.001)
+    feats = (
+        extract_features(assets)
+        .select("asset_id", "embedding")
+        .localCheckpoint(eager=False)
+    )
     b = hyperplane_buckets(feats, n_bits=n_bits, dim=FEATURE_DIM, seed=seed,
                            id_col="asset_id", vec_col="embedding")
     f = feats.select(
