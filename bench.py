@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "tpch_q5",             # six-table broadcast-dim join
     "simhash_pairs",       # pigeonhole block join (capped + salted)
     "asset_near_dups",     # multimodal decode + perceptual LSH bucket join
+    "lang_distinct_kmv",   # KMV distinct sketch (JVM window top-k)
 ]
 
 
