@@ -63,6 +63,22 @@ class TestSuffixArrayKernels:
         assert longest_common_block(b"abc", b"") == 0
 
 
+class TestWindowTiles:
+    def test_tile_always_covers_anchor_neighbourhood(self):
+        """The chunk-aligned 3*cap tile cut by _win_expr must contain the
+        full +-cap neighbourhood of every in-doc offset — the guarantee the
+        offset-anchored verification correctness rests on."""
+        rng = np.random.default_rng(41)
+        cap = 1 << 20
+        for _ in range(20_000):
+            doc_len = int(rng.integers(1, 20 << 20))
+            off = int(rng.integers(0, doc_len))
+            old_lo, old_hi = max(off - cap, 0), min(off + cap, doc_len)
+            q = max(off // cap - 1, 0)
+            new_lo, new_hi = q * cap, min(q * cap + 3 * cap, doc_len)
+            assert new_lo <= old_lo and new_hi >= old_hi, (doc_len, off)
+
+
 class TestSubstringPass:
     def test_finds_planted_substring_dups(self, spark):
         pdf, truth = make_corpus(n_base=60, seed=42)
