@@ -23,6 +23,8 @@ accumulated pair tables (cheap: pairs only).
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
@@ -126,6 +128,7 @@ def ingest_stream(
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        t0 = time.time()
         keyed = with_doc_key(batch_df, key_cols)
         rep_docs, exact_pairs = exact_stage(keyed)
         rep_docs = signature_input(rep_docs, cfg)
@@ -199,9 +202,17 @@ def ingest_stream(
         # cluster readers can attach singletons exactly like the batch path
         wh.append(keyed.select("doc_key"), "stream_doc_keys")
         wh.append(new_bands, BAND_TABLE)
+        n_in = batch_df.count()
         wh.record_lineage(
             "stream_ingest", cfg.config_hash(), f"epoch-{epoch_id}",
-            rows=batch_df.count(), table="checkpoint_signatures",
+            rows=n_in, table="checkpoint_signatures",
+        )
+        # same observability as the batch pipeline's per-stage metrics: one
+        # row per epoch with the ingest wall and row count, so a stalled or
+        # regressing stream is visible from the warehouse alone
+        wh.record_metrics(
+            "stream_ingest", cfg.config_hash(),
+            int((time.time() - t0) * 1000), rows_in=n_in,
         )
 
     q = (
