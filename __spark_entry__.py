@@ -8,8 +8,8 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 Implementation lives in the ``dedup`` package (SURVEY.md §7):
 oracle-checked queries cover the SQL-expressible stages (exact dedup,
 text quality/language/token ops, shingle counts, exact n-gram Jaccard,
-embedding kNN, relational agg/multi-way-join/window layers) plus thirteen
-invariant oracles that pin the kernel pipelines from the SQL side
+embedding kNN, KMV distinct audit, relational agg/multi-way-join/window
+layers) plus the invariant oracles that pin the kernel pipelines from the SQL side
 (planted-copy cluster containment, canonical min-member labels,
 substring share-64 exact pair parity, exhaustive-probe IVF == brute
 force, the FrequentDirections Frobenius and projection-norm

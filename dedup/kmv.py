@@ -67,15 +67,20 @@ def lang_distinct_kmv(
     group_col: str = "lang",
     content_col: str = "content",
     k: int = DEFAULT_K,
+    salts: int = 64,
 ) -> DataFrame:
     """(group, n_docs, est_distinct, dup_rate) per group via a KMV sketch
     built entirely JVM-side.
 
-    distinct() dedups (group, hash) with one shuffle of 16-byte rows; the
-    row_number window keeps the k smallest per group (the sort key is the
-    hash — uniform, so no skew beyond group sizes, which AQE splits). At
-    10^12 rows the plan never materializes a per-group value set larger
-    than k and never shuffles content.
+    distinct() dedups (group, hash) with one shuffle of 16-byte rows
+    (map-side combinable). The k-smallest selection is TWO-LEVEL to dodge
+    the single-task-per-group window sort: level 1 takes the k smallest
+    per (group, hash mod salts) — `salts` parallel sorts of ~1/salts of
+    the group each — and level 2 sorts only the <= k*salts survivors per
+    group. The global k smallest are always contained in the union of
+    per-salt k smallest, so the result is identical to the naive window;
+    a lone 10^9-distinct group costs `salts` bounded tasks plus one
+    64k-row sort instead of one 10^9-row sort. Content never shuffles.
     """
     from pyspark.sql import Window
 
@@ -83,10 +88,18 @@ def lang_distinct_kmv(
         F.col(group_col).alias("grp"), F.xxhash64(F.col(content_col)).alias("h")
     )
     n = hashed.groupBy("grp").agg(F.count("*").alias("n_docs"))
-    dh = hashed.distinct()
-    w = Window.partitionBy("grp").orderBy("h")
+    dh = hashed.distinct().withColumn(
+        "salt", F.pmod(F.xxhash64("h"), F.lit(salts)).cast("int")
+    )
+    w1 = Window.partitionBy("grp", "salt").orderBy("h")
+    survivors = (
+        dh.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= k)
+        .drop("rn", "salt")
+    )
+    w2 = Window.partitionBy("grp").orderBy("h")
     sk = (
-        dh.withColumn("rn", F.row_number().over(w))
+        survivors.withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") <= k)
         .groupBy("grp")
         .agg(F.count("*").alias("n_in"), F.max("h").alias("kth"))
