@@ -159,10 +159,13 @@ def _salted_probe_join(q: DataFrame, c: DataFrame, cap: int, salts: int
     candidates across `salts` tasks (candidate keeps one salt, query
     replicates to all), cold buckets join plain at salt 0. Inputs must carry
     a `bucket` column; output has both sides' columns minus bookkeeping.
-    The candidate table feeds both the size pass and the join; it is
-    localCheckpoint-materialized once (the query side is consumed once and
-    stays lazy)."""
-    c = c.localCheckpoint(eager=False)
+
+    The candidate table is deliberately NOT materialized although it is
+    consumed twice (size pass + join): its upstream is a pruned scan plus
+    the bucketize matmul — recomputing that once more is far cheaper at
+    10^9 vectors than writing the full (id, vector, bucket) table to
+    executor-local storage. Contrast capped_bucket_self_join, where five
+    consumers and an expensive decode upstream flip that trade."""
     eligible, _ = bucket_join_sizes(c, cap)
     hot = F.col("bucket_size") >= HOT_BUCKET_MIN
     c2 = (
