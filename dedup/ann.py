@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
+from dedup.session import materialize
+
 
 def _cosine(a, b):  # Column expr: cosine between two array<double>
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
@@ -205,7 +207,7 @@ def capped_bucket_self_join(f: DataFrame, id_col: str, cap: int,
     (e.g. the multimodal decode behind asset features) don't re-run per
     branch — same discipline as the band/block tables in lsh.py/simhash.py
     (eager=False: computed at the first action, no plan-cache aliasing)."""
-    f = f.localCheckpoint(eager=False)
+    f = materialize(f, eager=False)
     eligible, _ = bucket_join_sizes(f, cap)
     rows = f.join(eligible, "bucket")
     cold = rows.where(F.col("bucket_size") < HOT_BUCKET_MIN).drop("bucket_size")

@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from dedup.session import materialize
 
 
 def connected_components(
@@ -47,7 +48,7 @@ def connected_components(
         .where(F.col("u") != F.col("v"))
         .distinct()
     )
-    e = e.localCheckpoint(eager=True)
+    e = materialize(e, eager=True)
     stats = e.agg(
         F.count("*").alias("c"),
         F.coalesce(
@@ -70,7 +71,7 @@ def connected_components(
 
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e))
-        e2 = e2.localCheckpoint(eager=True)
+        e2 = materialize(e2, eager=True)
         sig = _edge_sig(e2)
         e = e2
         if sig == prev_sig:

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dedup.config import DedupConfig
+from dedup.session import materialize
 
 HOT_BUCKET_MIN = 64  # buckets below this use the plain join path
 
@@ -96,7 +97,7 @@ def candidate_pairs(
     # shapes (measured 2x on the flagship). localCheckpoint materializes the
     # 24-byte-per-row band table once, without the plan-cache aliasing
     # hazard a persist() inside a library operator would create.
-    bands_df = bands_df.localCheckpoint(eager=False)
+    bands_df = materialize(bands_df, eager=False)
     sizes = bucket_sizes(bands_df)
     # no persist here: within one action Catalyst reuses the aggregation
     # across the dropped/eligible branches, and persisting inside the

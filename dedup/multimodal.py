@@ -34,6 +34,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from dedup.session import materialize
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -308,10 +309,8 @@ def asset_near_dups(assets: DataFrame, n_bits: int = 12, seed: int = 42,
     # vector join; without materialization every branch of the capped
     # self-join would re-run the payload decode kernel (measured 24
     # MapInPandas instances in the physical plan at sf0.001)
-    feats = (
-        extract_features(assets)
-        .select("asset_id", "embedding")
-        .localCheckpoint(eager=False)
+    feats = materialize(
+        extract_features(assets).select("asset_id", "embedding"), eager=False
     )
     b = hyperplane_buckets(feats, n_bits=n_bits, dim=FEATURE_DIM, seed=seed,
                            id_col="asset_id", vec_col="embedding")

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from dedup.cluster import attach_singletons, connected_components
 from dedup.config import DedupConfig
 from dedup.lsh import candidate_pairs
+from dedup.session import materialize
 from dedup.minhash import (
     SIGNATURE_SCHEMA,
     compute_bands,
@@ -203,7 +204,7 @@ def signatures_with_resume(
     before = ckpt_n(existing)
     rep_keys = None
     if before > 0:
-        rep_keys = rep_docs.select("doc_key").localCheckpoint(eager=True)
+        rep_keys = materialize(rep_docs.select("doc_key"), eager=True)
         done_keys = decode_signature_blocks(existing, cfg).select("doc_key")
         todo = rep_docs.join(done_keys, "doc_key", "left_anti")
     else:

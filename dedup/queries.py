@@ -19,6 +19,7 @@ from dedup.config import DedupConfig
 from dedup.lsh import bucket_sizes, candidate_pairs
 from dedup.minhash import compute_bands, compute_signatures, with_doc_key
 from dedup.pipeline import exact_stage, key_docs, run_dedup, signature_input
+from dedup.session import materialize
 from dedup.simhash import simhash_candidate_pairs
 from dedup.sketches import MinHashSketch
 from dedup.textops import (
@@ -788,7 +789,7 @@ def q_candidate_planted_recall(spark, sf_dir):
     keyed = key_docs(corpus)
     rep_docs, _ = exact_stage(keyed)
     rep_docs = signature_input(rep_docs, CFG)
-    sigs = compute_signatures(rep_docs, CFG).localCheckpoint(eager=False)
+    sigs = materialize(compute_signatures(rep_docs, CFG), eager=False)
     pairs, _ = candidate_pairs(compute_bands(sigs, CFG), CFG)
     return _planted_pair_ids(pairs, keyed)
 
@@ -801,7 +802,7 @@ def q_verified_planted_recall(spark, sf_dir):
     keyed = key_docs(corpus)
     rep_docs, _ = exact_stage(keyed)
     rep_docs = signature_input(rep_docs, CFG)
-    sigs = compute_signatures(rep_docs, CFG).localCheckpoint(eager=False)
+    sigs = materialize(compute_signatures(rep_docs, CFG), eager=False)
     pairs, _ = candidate_pairs(compute_bands(sigs, CFG), CFG)
     return _planted_pair_ids(verified_pairs(pairs, sigs, CFG), keyed)
 
@@ -1027,7 +1028,7 @@ def q_candidate_pairs(spark, sf_dir):
     keyed = key_docs(documents_as_corpus(spark, sf_dir))
     rep_docs, _ = exact_stage(keyed)
     rep_docs = signature_input(rep_docs, CFG)
-    sigs = compute_signatures(rep_docs, CFG).localCheckpoint(eager=False)
+    sigs = materialize(compute_signatures(rep_docs, CFG), eager=False)
     pairs, _ = candidate_pairs(compute_bands(sigs, CFG), CFG)
     return pairs
 
@@ -1037,7 +1038,7 @@ def q_verified_pairs(spark, sf_dir):
     keyed = key_docs(documents_as_corpus(spark, sf_dir))
     rep_docs, _ = exact_stage(keyed)
     rep_docs = signature_input(rep_docs, CFG)
-    sigs = compute_signatures(rep_docs, CFG).localCheckpoint(eager=False)
+    sigs = materialize(compute_signatures(rep_docs, CFG), eager=False)
     pairs, _ = candidate_pairs(compute_bands(sigs, CFG), CFG)
     return verified_pairs(pairs, sigs, CFG)
 

@@ -76,6 +76,24 @@ def get_spark(
     return b.getOrCreate()
 
 
+def materialize(df, eager: bool = False):
+    """Cut lineage and compute a multi-consumer intermediate exactly once.
+
+    On a real cluster (a checkpoint dir is configured via
+    SparkContext.setCheckpointDir, normally on HDFS/object storage) this
+    uses a RELIABLE checkpoint: the materialized blocks survive executor
+    loss, which matters when a long stage fans out of the table. Without a
+    checkpoint dir (local/dev) it falls back to localCheckpoint —
+    executor-local blocks whose loss fails the query (it simply re-runs),
+    the right trade when there is no durable store to write to. Both cut
+    lineage, so unlike persist() there is no plan-fingerprint cache that a
+    later identical plan could silently alias."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def _parallelism(master: str) -> int:
     if master.startswith("local["):
         inner = master[len("local[") : -1]

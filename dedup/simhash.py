@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dedup.config import DedupConfig
+from dedup.session import materialize
 
 
 def simhash_blocks(sig_df: DataFrame, n_blocks: int) -> DataFrame:
@@ -53,7 +54,7 @@ def simhash_candidate_pairs(sig_df: DataFrame, cfg: DedupConfig,
     n_blocks = cfg.simhash_max_hamming + 1
     # the block table feeds both the count pass and the member join; one
     # materialization, same rationale as lsh.candidate_pairs
-    blocks = simhash_blocks(sig_df, n_blocks).localCheckpoint(eager=False)
+    blocks = materialize(simhash_blocks(sig_df, n_blocks), eager=False)
     sizes = blocks.groupBy("block_id", "block_val").agg(F.count("*").alias("sz"))
     eligible = sizes.where(
         (F.col("sz") >= 2) & (F.col("sz") <= cfg.band_bucket_cap)

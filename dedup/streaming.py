@@ -33,6 +33,7 @@ from dedup.config import DedupConfig
 from dedup.lsh import candidate_pairs
 from dedup.minhash import compute_bands, with_doc_key
 from dedup.pipeline import exact_stage, signature_input, signatures_with_resume
+from dedup.session import materialize
 from dedup.verify import verified_pairs
 from dedup.warehouse import Warehouse
 
@@ -53,7 +54,7 @@ def _incremental_candidates(
     appends the returned bands after persisting the pairs (crash-ordering).
     Returns ((key_a, key_b, n_bands_hit), band_rows)."""
     cfg_hash = cfg.config_hash()
-    new_bands = compute_bands(new_sigs, cfg).localCheckpoint(eager=True)
+    new_bands = materialize(compute_bands(new_sigs, cfg), eager=True)
     return_bands = new_bands.withColumn(
         "config_hash", F.lit(cfg_hash)
     ).withColumn("epoch", F.lit(int(epoch_id)))
@@ -101,7 +102,7 @@ def _incremental_candidates(
     # materialize the pair set BEFORE this round's bands land in the table:
     # `old` was listed pre-append, and the caller appends the verified pairs
     # before committing the bands (crash-ordering: see ingest_stream)
-    pairs = pairs.localCheckpoint(eager=True)
+    pairs = materialize(pairs, eager=True)
     return pairs, return_bands
 
 

@@ -51,6 +51,7 @@ from pyspark.sql.types import (
 
 from dedup.config import DedupConfig
 from dedup.shingle import _utf8_blob
+from dedup.session import materialize
 from dedup.sketches import combine_windows, splitmix64
 
 GRAM = 64          # rolling-hash gram size (chars)
@@ -389,7 +390,7 @@ def substring_pairs(
     # bucket-size pass; localCheckpoint materializes the kernel output once
     # (fp rows are tiny vs content) without the plan-cache aliasing hazard a
     # persist() inside a library operator would create
-    fps = fingerprints(df, cfg, key_col, content_col).localCheckpoint(eager=False)
+    fps = materialize(fingerprints(df, cfg, key_col, content_col), eager=False)
     cand = anchored_candidates(fps, cfg, max_anchors)
     docs = df.select(
         F.col(key_col).alias("doc_key"), F.col(content_col).alias("content")
