@@ -38,6 +38,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="incremental Structured Streaming ingest (AvailableNow)")
     ap.add_argument("--stream-checkpoint", default=None,
                     help="streaming checkpoint dir (default: <output>/_stream_ckpt)")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="durable dir (HDFS/object store) for RELIABLE "
+                    "materialization of multi-consumer intermediates; "
+                    "without it they localCheckpoint to executor storage, "
+                    "which a lost executor takes down (see "
+                    "session.materialize)")
     args = ap.parse_args(argv)
 
     from dedup.config import DedupConfig
@@ -54,6 +60,8 @@ def main(argv: list[str] | None = None) -> int:
         jaccard_threshold=args.jaccard_threshold,
     )
     spark = get_spark("dedup-cli", master=args.master)
+    if args.checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
     wh = Warehouse(spark, args.output)
     if args.stream:
         from dedup.streaming import ingest_stream, stream_clusters

@@ -70,6 +70,9 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
             "--input", str(corpus),
             "--output", str(out_dir),
             "--master", "local[2]",
+            # reliable-materialization mode: every multi-consumer
+            # intermediate checkpoints durably under this dir
+            "--checkpoint-dir", str(tmp_path / "rdd_ckpt"),
         ],
         cwd=tmp_path,
         env=env,
@@ -85,3 +88,8 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     assert docs == len(pdf)
     # planted dup groups guarantee strictly fewer clusters than docs
     assert 0 < clusters < docs
+    # --checkpoint-dir activated reliable materialization: durable RDD
+    # checkpoint files must exist under the configured dir
+    ckpt = tmp_path / "rdd_ckpt"
+    files = [f for r, _, fs in os.walk(ckpt) for f in fs]
+    assert files, "no reliable-checkpoint files under --checkpoint-dir"
