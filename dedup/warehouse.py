@@ -176,9 +176,14 @@ class Warehouse:
         return entry["status"] == "complete"
 
     def drop(self, name: str) -> None:
-        p = self._path(name)
-        if os.path.exists(p):
-            shutil.rmtree(p)
+        if self.use_iceberg:
+            self.spark.sql(
+                f"DROP TABLE IF EXISTS {self._iceberg_table(name)}"
+            )
+        else:
+            p = self._path(name)
+            if os.path.exists(p):
+                shutil.rmtree(p)
         m = self._load_manifest()
         m["tables"].pop(name, None)
         self._save_manifest(m)
