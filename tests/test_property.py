@@ -99,6 +99,53 @@ class TestSuffixArrayProperties:
             assert lcp[i] == k
 
 
+class TestLcsHashSearchProperties:
+    @settings(max_examples=40, deadline=None)
+    @given(st.binary(min_size=0, max_size=70), st.binary(min_size=0, max_size=70))
+    def test_lcb_matches_naive(self, a, b):
+        """The rolling-hash binary-search LCS equals the O(n^2 m) naive
+        answer for arbitrary byte strings (incl. repeats and empties)."""
+        from dedup.suffix import longest_common_block
+
+        def naive(x, y):
+            best = 0
+            for i in range(len(x)):
+                for j in range(len(y)):
+                    k = 0
+                    while i + k < len(x) and j + k < len(y) and x[i + k] == y[j + k]:
+                        k += 1
+                    best = max(best, k)
+            return best
+
+        assert longest_common_block(a, b) == naive(a, b)
+
+
+class TestKmvProperties:
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.lists(st.integers(-(2**63), 2**63 - 1), max_size=200),
+        st.lists(st.integers(-(2**63), 2**63 - 1), max_size=200),
+        st.integers(1, 64),
+    )
+    def test_fold_merge_laws(self, a, b, k):
+        """kmv_fold is order-insensitive and mergeable: fold(a)+fold(b)
+        == fold(a+b) == fold(b+a) after the k-min cut, and the exact
+        regime reports the true distinct count."""
+        from dedup.kmv import kmv_estimate, kmv_fold
+
+        aa = np.array(a, dtype=np.int64)
+        bb = np.array(b, dtype=np.int64)
+        empty = np.empty(0, np.int64)
+        ab = kmv_fold(kmv_fold(empty, aa, k), bb, k)
+        ba = kmv_fold(kmv_fold(empty, bb, k), aa, k)
+        once = kmv_fold(empty, np.concatenate([aa, bb]), k)
+        assert np.array_equal(ab, once) and np.array_equal(ba, once)
+        distinct = len(set(a) | set(b))
+        if distinct < k:
+            kth = int(once[-1]) if len(once) else 0
+            assert kmv_estimate(len(once), kth, k) == float(distinct)
+
+
 class TestFrequentDirectionsProperties:
     """FD invariants for ANY stream (hypothesis): serialization roundtrip,
     counter accounting under merge, the raw<=compensative ordering, and the
