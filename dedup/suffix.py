@@ -326,10 +326,26 @@ def _lcb_pre(
     min_len: int = 1,
 ) -> int:
     """_lcb_arrays with caller-supplied prefix hashes, so a window that
-    participates in several cross-window probes is hashed once."""
+    participates in several cross-window probes is hashed once.
+
+    The search GALLOPS (lo, 2*lo, 4*lo, ...) before bisecting: a plain
+    bisection over [min_len, n] spends ~log2(n) O(n) probes refuting
+    lengths far above the true LCS; doubling finds a failing length within
+    a factor 2 of the answer in log2(lcs/min_len) probes, so the bisection
+    range — and with it the total probe count on the common small-LCS /
+    huge-window case — shrinks from log2(n) to ~2*log2(lcs/min_len)+1.
+    Same exact answer: the invariant (lo always succeeds, everything above
+    hi fails) is maintained by every probe."""
     lo, hi = max(min_len, 1), min(len(a), len(b))
     if lo > hi or not _has_common_block(a, b, pa, pb, lo):
         return 0
+    while lo < hi:
+        probe = min(2 * lo, hi)
+        if _has_common_block(a, b, pa, pb, probe):
+            lo = probe
+        else:
+            hi = probe - 1
+            break
     while lo < hi:
         mid = (lo + hi + 1) // 2
         if _has_common_block(a, b, pa, pb, mid):

@@ -156,6 +156,40 @@ class TestSubstringPass:
         assert len(rows) == 1
         assert rows[0]["lcs_len"] >= 1500
 
+    def test_many_large_docs_planted_blocks(self, spark):
+        """The windows path at its design point: a corpus of multi-MiB docs
+        where each planted pair shares one 2 KiB block at arbitrary (often
+        >1 MiB) offsets. Exactly the planted pairs must verify, through
+        bounded JVM-cut windows — full contents never reach Python."""
+        rng = np.random.default_rng(29)
+        n_pairs, doc_mb = 6, 2 << 20
+
+        def rand_text(n):
+            return bytes(rng.integers(97, 123, size=n).astype(np.uint8)).decode()
+
+        rows, planted = [], set()
+        for i in range(n_pairs):
+            block = rand_text(2048)
+            for side in ("a", "b"):
+                off = int(rng.integers(0, doc_mb - 2048))
+                body = rand_text(doc_mb)
+                rows.append(
+                    dict(repo="r", path=f"big/{i}/{side}", commit="h",
+                         lang="en", content=body[:off] + block + body[off:])
+                )
+            planted.add((f"big/{i}/a", f"big/{i}/b"))
+        pdf = pd.DataFrame(rows)
+        cfg = DedupConfig()
+        df = key_docs(spark.createDataFrame(pdf).repartition(8))
+        keymap = {r["doc_key"]: r["path"]
+                  for r in df.select("doc_key", "path").collect()}
+        found = substring_pairs(df, cfg).collect()
+        got = {tuple(sorted((keymap[r["key_a"]], keymap[r["key_b"]])))
+               for r in found}
+        assert got == planted, got ^ planted
+        for r in found:
+            assert r["lcs_len"] >= 2048
+
     def test_anchor_cap_bounds_work_on_near_identical_docs(self, spark):
         """A pair sharing thousands of fingerprints retains at most
         MAX_ANCHORS verification windows and still verifies."""
