@@ -291,21 +291,41 @@ def _has_common_block(
     """True iff a and b share a verbatim block of length exactly L. Hash
     candidates are confirmed by byte compare, so the answer is exact; on the
     astronomically rare all-collision miss, every occurrence pair of each
-    colliding hash is checked before answering False."""
+    colliding hash is checked before answering False.
+
+    The membership test sorts only the SMALLER hash array and binary-probes
+    it with the larger (instead of intersect1d's sort-and-unique of both) —
+    the probe is the inner loop of the LCS search, so its constant factor
+    is the verify stage's hot path."""
     ha = _window_hashes(*pa, L)
     hb = _window_hashes(*pb, L)
     if len(ha) == 0 or len(hb) == 0:
         return False
-    common, ia, ib = np.intersect1d(ha, hb, return_indices=True)
-    if len(common) == 0:
+    if len(ha) <= len(hb):
+        base, base_arr, probe, probe_arr = ha, a, hb, b
+    else:
+        base, base_arr, probe, probe_arr = hb, b, ha, a
+    order = np.argsort(base)
+    sb = base[order]
+    pos = np.searchsorted(sb, probe)
+    valid = pos < len(sb)
+    hit = np.zeros(len(probe), dtype=bool)
+    hit[valid] = sb[pos[valid]] == probe[valid]
+    hits = np.flatnonzero(hit)
+    if len(hits) == 0:
         return False
-    for i, j in zip(ia, ib):  # first-occurrence pairs; ~always match at once
-        if np.array_equal(a[i : i + L], b[j : j + L]):
+    # quick pass: byte-verify a handful of matches — the first one
+    # ~always confirms (hash collisions are ~2^-64)
+    for j in hits[:16]:
+        i = order[pos[j]]
+        if np.array_equal(base_arr[i : i + L], probe_arr[j : j + L]):
             return True
-    for h in common:  # collision fallback: exhaustive per colliding hash
-        for i in np.flatnonzero(ha == h):
-            for j in np.flatnonzero(hb == h):
-                if np.array_equal(a[i : i + L], b[j : j + L]):
+    # collision fallback: exhaustive over every occurrence pair of every
+    # colliding hash value, so exactness never rests on the hash alone
+    for h in np.unique(probe[hits]):
+        for i in np.flatnonzero(base == h):
+            for j in np.flatnonzero(probe == h):
+                if np.array_equal(base_arr[i : i + L], probe_arr[j : j + L]):
                     return True
     return False
 
