@@ -131,16 +131,19 @@ class TestSubstringPass:
         """Two shared blocks living in DIFFERENT chunk tiles exercise the
         multi-window cross-product verify: the pair must report the longer
         block's length even though each block anchors a different JVM-cut
-        window."""
+        window. A shrunken chunk keeps the multi-tile regime cheap — the
+        windowing code is identical at any chunk size (the default-chunk
+        regime is covered by test_shared_block_beyond_chunk_offset_found)."""
         rng = np.random.default_rng(23)
+        chunk = 128 << 10
 
         def rand_text(n):
             return bytes(rng.integers(97, 123, size=n).astype(np.uint8)).decode()
 
         short = rand_text(600)
         long = rand_text(1500)
-        doc_a = rand_text(1 << 20) + short + rand_text(2 << 20) + long + rand_text(1 << 19)
-        doc_b = rand_text(1 << 19) + long + rand_text(2 << 20) + short + rand_text(1 << 20)
+        doc_a = rand_text(chunk) + short + rand_text(2 * chunk) + long + rand_text(chunk // 2)
+        doc_b = rand_text(chunk // 2) + long + rand_text(2 * chunk) + short + rand_text(chunk)
         pdf = pd.DataFrame(
             {
                 "repo": ["r", "r"],
@@ -150,19 +153,21 @@ class TestSubstringPass:
                 "content": [doc_a, doc_b],
             }
         )
-        cfg = DedupConfig()
+        cfg = DedupConfig(substring_chunk=chunk)
         df = key_docs(spark.createDataFrame(pdf))
         rows = substring_pairs(df, cfg).collect()
         assert len(rows) == 1
         assert rows[0]["lcs_len"] >= 1500
 
     def test_many_large_docs_planted_blocks(self, spark):
-        """The windows path at its design point: a corpus of multi-MiB docs
-        where each planted pair shares one 2 KiB block at arbitrary (often
-        >1 MiB) offsets. Exactly the planted pairs must verify, through
-        bounded JVM-cut windows — full contents never reach Python."""
+        """The windows path at its design point: a corpus of docs much
+        larger than the chunk, where each planted pair shares one 2 KiB
+        block at an arbitrary beyond-chunk offset. Exactly the planted
+        pairs must verify, through bounded JVM-cut windows — full contents
+        never reach Python. Chunk shrunk for suite speed; the windowing
+        code is chunk-size-agnostic."""
         rng = np.random.default_rng(29)
-        n_pairs, doc_mb = 6, 2 << 20
+        n_pairs, doc_mb, chunk = 6, 512 << 10, 128 << 10
 
         def rand_text(n):
             return bytes(rng.integers(97, 123, size=n).astype(np.uint8)).decode()
@@ -179,7 +184,7 @@ class TestSubstringPass:
                 )
             planted.add((f"big/{i}/a", f"big/{i}/b"))
         pdf = pd.DataFrame(rows)
-        cfg = DedupConfig()
+        cfg = DedupConfig(substring_chunk=chunk)
         df = key_docs(spark.createDataFrame(pdf).repartition(8))
         keymap = {r["doc_key"]: r["path"]
                   for r in df.select("doc_key", "path").collect()}
