@@ -38,7 +38,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DEFAULT_K = 1024
+# 32 KB of state per group buys an exact answer for any group with fewer
+# than 4096 distinct values (covers every testdata scale) and ~1.6% relative
+# error above
+DEFAULT_K = 4096
 
 
 def kmv_estimate(n_in_sketch: int, kth_hash: int, k: int) -> float:
@@ -110,7 +113,10 @@ def lang_distinct_kmv(
     )
     return (
         n.join(sk, "grp")
-        .withColumn("est_distinct", est.cast("long"))
+        # the estimator can overshoot in the approximate regime; the row
+        # count is a sound upper bound on the distinct count, so clamping
+        # strictly reduces error (and keeps dup_rate >= 0)
+        .withColumn("est_distinct", F.least(est.cast("long"), F.col("n_docs")))
         .withColumn(
             "dup_rate",
             F.round(
@@ -165,7 +171,11 @@ def streaming_distinct_by_key(
             n += len(pdf)
             mins = kmv_fold(mins, pdf["h"].to_numpy(np.int64), k)
         state.update((mins.tolist(), n))
-        est = int(kmv_estimate(len(mins), int(mins[-1]) if len(mins) else 0, k))
+        # same clamp as the batch path: rows seen bound the distinct count
+        est = min(
+            int(kmv_estimate(len(mins), int(mins[-1]) if len(mins) else 0, k)),
+            n,
+        )
         yield pd.DataFrame(
             {
                 "key": [key[0]],

@@ -842,8 +842,12 @@ WHERE length(coalesce(text, '')) >= {CFG.min_content_len}
 def q_corpus_sketch_counts(spark, sf_dir):
     """COUNT-PARITY ORACLE for the mergeable corpus sketch: the per-language
     merged MinHash sketch's n equals the number of signature-eligible
-    representatives of that language (lang is content-determined in this
-    corpus, so SQL counts distinct shas per lang)."""
+    representatives whose OWN doc carries that language. The SQL replicates
+    representative selection exactly (min doc_key per content sha, doc_key =
+    sha256 of the NUL-joined identity) instead of assuming lang is
+    content-determined — at sf0.1 the synthetic corpus contains contents
+    shared across languages, where the pipeline keeps ONE representative
+    but a per-lang distinct-sha count would tally it once per language."""
     from dedup.minhash import minhash_sketch_by_group
 
     corpus = documents_as_corpus(spark, sf_dir)
@@ -858,11 +862,22 @@ def q_corpus_sketch_counts(spark, sf_dir):
 
 
 SQL_CORPUS_SKETCH_COUNTS = f"""
-SELECT lang AS group_key,
-       CAST(count(DISTINCT sha256(coalesce(text, ''))) AS BIGINT) AS n_docs
-FROM documents
-WHERE length(coalesce(text, '')) >= {CFG.min_content_len}
-GROUP BY lang
+WITH keyed AS (
+    SELECT lang,
+           sha256(coalesce(text, '')) AS content_sha,
+           sha256(concat('src', chr(0),
+                         'doc/', lpad(CAST(doc_id AS VARCHAR), 12, '0'),
+                         chr(0), 'head')) AS doc_key,
+           length(coalesce(text, '')) AS clen
+    FROM documents
+), reps AS (
+    SELECT content_sha, min(doc_key) AS rep_key
+    FROM keyed GROUP BY content_sha
+)
+SELECT k.lang AS group_key, CAST(count(*) AS BIGINT) AS n_docs
+FROM keyed k JOIN reps r ON k.doc_key = r.rep_key
+WHERE k.clen >= {CFG.min_content_len}
+GROUP BY k.lang
 """
 
 

@@ -75,8 +75,9 @@ class TestBatch:
     def test_approx_regime_sql_matches_kernel_formula(self, spark):
         """Force the approximate regime (k=16 < distincts) and pin the SQL
         estimate to the shared python kmv_estimate on the same hashes."""
-        df, _ = self._corpus(spark)
+        df, pdf = self._corpus(spark)
         k = 16
+        n_rows = pdf.groupby("lang").size()
         got = {
             r["lang"]: r["est_distinct"]
             for r in lang_distinct_kmv(df, "lang", "content", k=k).collect()
@@ -88,7 +89,9 @@ class TestBatch:
         )
         for lang, grp in hashes.groupby("lang"):
             mins = kmv_fold(np.empty(0, np.int64), grp["h"].to_numpy(np.int64), k)
-            want = int(kmv_estimate(len(mins), int(mins[-1]), k))
+            # same row-count clamp as the operator
+            want = min(int(kmv_estimate(len(mins), int(mins[-1]), k)),
+                       int(n_rows[lang]))
             assert got[lang] == want
             # sanity: the estimate is in the right ballpark of the truth
             assert abs(want - grp["h"].nunique()) / grp["h"].nunique() < 0.8
