@@ -90,6 +90,11 @@ def lang_distinct_kmv(
     hashed = df.select(
         F.col(group_col).alias("grp"), F.xxhash64(F.col(content_col)).alias("h")
     )
+    # two pruned scans, deliberately: deriving both outputs from one
+    # per-(group, hash) aggregate LOOKS cheaper but Catalyst prunes the
+    # count off the distinct branch, the subtrees stop being identical, and
+    # exchange reuse never fires — measured as two full copies of the heavy
+    # aggregate. The count branch below shuffles only map-side partials.
     n = hashed.groupBy("grp").agg(F.count("*").alias("n_docs"))
     dh = hashed.distinct().withColumn(
         "salt", F.pmod(F.xxhash64("h"), F.lit(salts)).cast("int")
