@@ -69,6 +69,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # reliable checkpoints (session.materialize with a checkpoint dir
+        # configured) are one-shot lineage cuts; without this a long-running
+        # job's checkpoint dir grows without bound, since Spark never
+        # removes checkpoint files for out-of-scope RDDs by default
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
