@@ -91,14 +91,19 @@ def fingerprint_docs(
             win = combine_windows(blob, window)
             doc_of = np.repeat(np.arange(len(pdf), dtype=np.int64), lens)
             out = np.empty(len(pdf), dtype=np.uint64)
+            out[:] = np.iinfo(np.uint64).max
             if len(win) > 0:
                 valid = doc_of[: len(win)] == doc_of[window - 1 :]
                 vdoc = doc_of[: len(win)][valid]
                 vwin = win[valid]
-                out[:] = np.iinfo(np.uint64).max
-                np.minimum.at(out, vdoc, vwin)
-            else:
-                out[:] = np.iinfo(np.uint64).max
+                if len(vdoc):
+                    # vdoc is sorted (windows stream in doc order), so the
+                    # per-doc minimum is a segmented reduceat — measured 2x
+                    # the unbuffered np.minimum.at at 20M windows
+                    seg = np.flatnonzero(
+                        np.r_[True, vdoc[1:] != vdoc[:-1]]
+                    )
+                    out[vdoc[seg]] = np.minimum.reduceat(vwin, seg)
             # short docs: whole-text hash
             short = lens < window
             if short.any():
