@@ -152,3 +152,34 @@ class TestClustering:
         if len(chains):
             r = chains.iloc[0]
             assert ref["clusters"][r["key_a"]] == ref["clusters"][r["key_b"]]
+
+
+class TestDegenerateInputs:
+    def test_empty_corpus(self, spark, corpus):
+        """Zero input rows → zero clusters, no stage crashes (the
+        reference's null-update no-op discipline end-to-end)."""
+        df, _, _ = corpus
+        assert run_dedup(spark, df.where(F.lit(False)), CFG).count() == 0
+
+    def test_single_doc_is_its_own_cluster(self, spark, corpus):
+        df, _, _ = corpus
+        rows = run_dedup(spark, df.limit(1), CFG).collect()
+        assert len(rows) == 1 and rows[0]["cluster_id"] == rows[0]["doc_key"]
+
+    def test_all_empty_content_docs(self, spark):
+        """Docs whose content is empty/null: exact-duplicate each other
+        (same sha), skip signatures (min_content_len), and land in ONE
+        cluster via the exact stage."""
+        pdf = pd.DataFrame(
+            {
+                "repo": ["r"] * 4,
+                "path": [f"e/{i}" for i in range(4)],
+                "commit": ["h"] * 4,
+                "lang": ["en"] * 4,
+                "content": ["", None, "", None],
+            }
+        )
+        clusters = run_dedup(spark, spark.createDataFrame(pdf), CFG)
+        rows = clusters.collect()
+        assert len(rows) == 4
+        assert len({r["cluster_id"] for r in rows}) == 1
