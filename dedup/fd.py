@@ -48,7 +48,9 @@ from typing import Iterator
 
 import numpy as np
 
-from dedup.sketches import FLAG_EMPTY, MAGIC, SER_VER, SketchCorruptionError
+from dedup.sketches import (
+    DECODABLE_SER_VERS, FLAG_EMPTY, MAGIC, SER_VER, SketchCorruptionError,
+)
 
 # continue the reference's family registry: MATRIX=128, FREQUENTDIRECTIONS=129
 # (matrix/MatrixFamily.java:43-47); 130/131 are this repo's MinHash families
@@ -294,7 +296,7 @@ class FrequentDirections:
         magic, ver, family, flags, k, d, rows, n, adj = _FD_HEADER.unpack_from(buf)
         if magic != MAGIC:
             raise SketchCorruptionError(f"bad magic 0x{magic:08X}")
-        if ver != SER_VER:
+        if ver not in DECODABLE_SER_VERS:
             raise SketchCorruptionError(f"unsupported ser-ver {ver}")
         if family != FAMILY_FD:
             raise SketchCorruptionError(f"wrong family id {family}")

@@ -503,7 +503,7 @@ FROM events GROUP BY user_id
 def q_lang_distinct_kmv(spark, sf_dir):
     """Per-language duplication audit via the KMV distinct-count sketch
     (dedup/kmv.py), built entirely JVM-side. EXACT-REGIME ORACLE: with
-    k=1024 above every per-language distinct count at sf<=0.01 the sketch
+    k=kmv.DEFAULT_K=4096 above every per-language distinct count at sf<=0.01 the sketch
     holds the full distinct hash set, so est_distinct equals
     COUNT(DISTINCT content) — the same degenerate-regime strategy as the
     fd_frobenius oracle (exact while the summary hasn't compacted)."""

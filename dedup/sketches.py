@@ -49,8 +49,14 @@ FAMILY_SIGBLOCK = 131
 # bump makes pre-widening checkpoint images fail fast with 'unsupported
 # ser-ver' instead of a misleading truncation/garbage downstream error
 # (ADVICE r2) — the reference's heapify discipline
-# (FrequentDirections.java:117-126: wrong ser-ver is rejected by name)
+# (FrequentDirections.java:117-126: wrong ser-ver is rejected by name).
+# Decoders additionally accept ver 1: every image this engine ever WROTE
+# under ver 1 already used the widened 28-byte seed64 header (the widening
+# and the bump landed in the same build), so the v1/v2 layouts are
+# byte-identical and v1 checkpoints decode losslessly — no forced
+# regeneration of pre-bump checkpoint_signatures tables (ADVICE r3).
 SER_VER = 2
+DECODABLE_SER_VERS = (1, 2)
 MAGIC = 0x4D485348  # "MHSH"
 FLAG_EMPTY = 4      # same flag value the reference uses (PreambleUtil.java:79)
 
@@ -221,8 +227,7 @@ def band_hashes(sig: np.ndarray, bands: int, rows: int, seed: int) -> np.ndarray
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Vectorized Hamming distance between uint64 fingerprint arrays."""
-    x = a ^ b
-    return np.array([bin(int(v)).count("1") for v in x], dtype=np.int64) if len(x) < 64 else _popcount(x)
+    return _popcount(np.asarray(a, dtype=np.uint64) ^ np.asarray(b, dtype=np.uint64))
 
 
 def _popcount(x: np.ndarray) -> np.ndarray:
@@ -354,7 +359,7 @@ class MinHashSketch:
         magic, ver, family, flags, num_perm, seed, n = _MINHASH_HEADER.unpack_from(buf)
         if magic != MAGIC:
             raise SketchCorruptionError(f"bad magic 0x{magic:08X}")
-        if ver != SER_VER:
+        if ver not in DECODABLE_SER_VERS:
             raise SketchCorruptionError(f"unsupported ser-ver {ver}")
         if family != FAMILY_MINHASH:
             raise SketchCorruptionError(f"wrong family id {family}")
@@ -510,7 +515,7 @@ class SignatureBlock:
         magic, ver, family, flags, num_perm, seed, n = _SIGBLOCK_HEADER.unpack_from(buf)
         if magic != MAGIC:
             raise SketchCorruptionError(f"bad magic 0x{magic:08X}")
-        if ver != SER_VER:
+        if ver not in DECODABLE_SER_VERS:
             raise SketchCorruptionError(f"unsupported ser-ver {ver}")
         if family != FAMILY_SIGBLOCK:
             raise SketchCorruptionError(f"wrong family id {family}")

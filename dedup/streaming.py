@@ -255,7 +255,14 @@ def stream_clusters(spark: SparkSession, wh: Warehouse, cfg: DedupConfig
     pair-suppression is weaker than batch."""
     from dedup.cluster import attach_singletons, connected_components
 
-    edges = read_stream_exact_pairs(wh)
+    if not wh.exists("stream_doc_keys"):
+        # No non-empty batch was ever ingested (fresh/empty input dir):
+        # return the same empty (doc_key, cluster_id) frame the batch path
+        # yields on an empty corpus instead of raising on a missing table.
+        return wh.spark.createDataFrame([], "doc_key string, cluster_id string")
+    edges = wh.spark.createDataFrame([], "key_a string, key_b string")
+    if wh.exists("stream_exact_pairs"):
+        edges = edges.unionByName(read_stream_exact_pairs(wh))
     if wh.exists("stream_verified_pairs"):
         edges = edges.unionByName(read_stream_verified_pairs(wh))
     members = wh.read("stream_doc_keys").select("doc_key").distinct()

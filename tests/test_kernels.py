@@ -213,25 +213,39 @@ class TestMinHashSketch:
         with pytest.raises(SketchCorruptionError):
             MinHashSketch.from_bytes(bytes(bad_magic))
 
-    def test_pre_widening_v1_image_rejected_by_name(self):
-        """ADVICE r2: the seed-widened wire layout (24 -> 28 byte header)
-        ships as ser-ver 2, so an old v1 image fails fast with 'unsupported
-        ser-ver' instead of a misleading truncation / garbage-row error."""
-        import struct
+    def test_v1_image_decodes_losslessly(self):
+        """ADVICE r3: every ver-1 image this engine ever WROTE already used
+        the widened 28-byte seed64 header (the widening and the ver bump
+        landed in the same build), so decoders accept ver 1 and checkpoints
+        from the previous build resume instead of hard-failing. Ver values
+        outside DECODABLE_SER_VERS still fail fast by name (covered above
+        by test_corruption_rejection's bad_ver=99 case)."""
+        a = MinHashSketch(); a.update(self._sig(7))
+        v1 = bytearray(a.to_bytes())
+        assert v1[4] == 2  # ver byte offset in the header
+        v1[4] = 1
+        back = MinHashSketch.from_bytes(bytes(v1))
+        assert np.array_equal(back.mins, a.mins) and back.n == a.n
 
-        from dedup.sketches import FAMILY_MINHASH, FAMILY_SIGBLOCK, MAGIC
-
-        old_header = struct.Struct("<IBBBxiIq")  # seed was 32-bit in v1
-        mins = np.full(8, np.iinfo(np.uint64).max, dtype=np.uint64)
-        v1_minhash = old_header.pack(MAGIC, 1, FAMILY_MINHASH, 0, 8, 42, 3) \
-            + mins.tobytes()
-        with pytest.raises(SketchCorruptionError, match="ser-ver"):
-            MinHashSketch.from_bytes(v1_minhash)
         from dedup.sketches import SignatureBlock
 
-        v1_block = old_header.pack(MAGIC, 1, FAMILY_SIGBLOCK, 0, 8, 42, 1) + b"\x00" * 64
-        with pytest.raises(SketchCorruptionError, match="ser-ver"):
-            SignatureBlock.from_bytes(v1_block)
+        blk = SignatureBlock(num_perm=8, seed=42)
+        blk.update(*self._block_rows())
+        v1b = bytearray(blk.to_bytes())
+        assert v1b[4] == 2
+        v1b[4] = 1
+        back_blk = SignatureBlock.from_bytes(bytes(v1b))
+        assert back_blk.to_bytes()[5:] == blk.to_bytes()[5:]
+
+    @staticmethod
+    def _block_rows():
+        rng = np.random.default_rng(7)
+        keys = ["k0", "k1"]
+        shas = ["%064x" % rng.integers(0, 2**63) for _ in keys]
+        sigs = rng.integers(0, 2**63, size=(2, 8), dtype=np.uint64)
+        sims = rng.integers(0, 2**63, size=2, dtype=np.uint64)
+        counts = np.array([3, 4], dtype=np.int32)
+        return keys, shas, sigs, sims, counts
 
 
 class TestSignatureBlock:

@@ -68,12 +68,14 @@ class TestPlanInvariants:
         import pathlib
 
         pkg = pathlib.Path(__file__).resolve().parent.parent / "dedup"
+        banned = (".iterrows()", "bin(int(")  # per-row pandas / per-row popcount
         offenders = [
-            p.name for p in sorted(pkg.glob("*.py"))
+            (p.name, pat) for p in sorted(pkg.glob("*.py"))
             for line in p.read_text().splitlines()
-            if ".iterrows()" in line and not line.lstrip().startswith("#")
+            for pat in banned
+            if pat in line and not line.lstrip().startswith("#")
         ]
-        assert offenders == [], f"iterrows found in {offenders}"
+        assert offenders == [], f"banned per-row patterns found in {offenders}"
 
     def test_tpch_q5_broadcast_dims_and_pushdown(self, spark):
         """Six-table join: dims broadcast, region/date filters reach the

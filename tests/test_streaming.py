@@ -203,6 +203,18 @@ class TestStreamingIngest:
         }
         assert got == want, "recovery lost pairs for signed-but-unbanded docs"
 
+    def test_stream_clusters_empty_warehouse(self, spark, tmp_path):
+        """ADVICE r3: stream_clusters on a warehouse where no non-empty
+        batch was ever ingested (fresh/empty input dir) must yield an empty
+        clusters frame — matching the batch path's empty-corpus behavior —
+        not raise AnalysisException on the missing tables."""
+        from dedup.streaming import stream_clusters
+
+        wh = Warehouse(spark, str(tmp_path / "wh_empty"))
+        out = stream_clusters(spark, wh, CFG)
+        assert out.columns == ["doc_key", "cluster_id"]
+        assert out.count() == 0
+
     def test_cli_stream_mode(self, spark, tmp_path, monkeypatch):
         """spark-submit surface: --stream consumes the input incrementally
         and prints cluster stats; a second invocation after new files is a
