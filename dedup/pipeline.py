@@ -69,17 +69,33 @@ def exact_stage(keyed: DataFrame) -> tuple[DataFrame, DataFrame]:
     """→ (representatives, exact_pairs). Representative = min doc_key per
     content_sha.
 
-    Implemented as a window min over content_sha: ONE shuffle of the content
-    (which any formulation needs to co-locate equal rows) and no driver-side
-    broadcast build — the groupBy+join alternative either broadcasts a
-    reps table that grows with the corpus (driver-serial collect) or shuffles
-    the content twice through a sort-merge join.
-    """
-    from pyspark.sql import Window
+    SKEW-SAFE FORMULATION (VERDICT r3 #1). The rep table is computed from a
+    PRUNED (content_sha, doc_key) projection with a map-side-combinable
+    `groupBy(content_sha).agg(min(doc_key))`: partial aggregation absorbs
+    any hot sha (empty files, license boilerplate — the dominant mass at
+    verbatim-copy scale) BEFORE its rows ever shuffle, so the hot key
+    arrives at the reduce side as one row per upstream partition. The rep
+    table then joins back to `keyed` on content_sha — a sort-merge join
+    that AQE's skew-join splitting CAN split across tasks, unlike the
+    previous `Window.partitionBy(content_sha)` fold, where one boilerplate
+    sha put ALL of its copies (content included) into a single unsplittable
+    window partition: one task sorting potentially 10^9 full-content rows.
 
-    w = Window.partitionBy("content_sha")
-    tagged = keyed.withColumn("rep_key", F.min("doc_key").over(w))
-    rep_docs = tagged.where(F.col("doc_key") == F.col("rep_key")).drop("rep_key")
+    Cost: one extra cheap shuffle of the pruned 2-column projection (the
+    column-pruned scan never reads content). The content itself still
+    shuffles exactly once, in the join — the same single content shuffle
+    any formulation needs to co-locate equal rows — and no driver-side
+    broadcast build (the reps table grows with the corpus).
+    """
+    reps = (
+        keyed.select("content_sha", "doc_key")
+        .groupBy("content_sha")
+        .agg(F.min("doc_key").alias("rep_key"))
+    )
+    tagged = keyed.join(reps, "content_sha")
+    rep_docs = (
+        tagged.where(F.col("doc_key") == F.col("rep_key")).select(*keyed.columns)
+    )
     pairs = (
         tagged.where(F.col("doc_key") != F.col("rep_key"))
         .select(F.col("rep_key").alias("key_a"), F.col("doc_key").alias("key_b"))

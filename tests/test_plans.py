@@ -77,6 +77,21 @@ class TestPlanInvariants:
         ]
         assert offenders == [], f"banned per-row patterns found in {offenders}"
 
+    def test_exact_stage_no_window_over_content(self, spark, corpus):
+        """VERDICT r3 #1 regression guard: the exact-dup fold must never run
+        a Window over a content-carrying child — one hot sha (empty files,
+        license boilerplate) would pin ALL its full-content copies into a
+        single unsplittable window partition. The skew-safe shape is a
+        map-side-combinable partial_min on a pruned (content_sha, doc_key)
+        projection joined back to the corpus (AQE skew-split eligible)."""
+        from dedup.pipeline import exact_stage
+
+        rep_docs, pairs = exact_stage(key_docs(corpus))
+        for df in (rep_docs, pairs):
+            plan = physical_plan(df)
+            assert "Window" not in plan, plan
+            assert "partial_min" in plan, plan
+
     def test_tpch_q5_broadcast_dims_and_pushdown(self, spark):
         """Six-table join: dims broadcast, region/date filters reach the
         scans (no filter evaluated post-join that a scan could absorb)."""

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from dedup.config import DedupConfig
 from dedup.lsh import HOT_BUCKET_MIN, candidate_pairs
 from dedup.minhash import compute_bands, compute_signatures
-from dedup.pipeline import key_docs
+from dedup.pipeline import exact_stage, key_docs
 
 
 def _boilerplate_corpus(spark, n_copies: int):
@@ -213,3 +213,34 @@ class TestVectorBucketCap:
                         salts=4).collect()
         assert all(100 <= r["neighbor_id"] < 400 for r in full)
         assert len({r["neighbor_id"] for r in full}) == 5
+
+
+class TestExactStageSkew:
+    def test_hot_sha_folds_without_window_partition(self, spark):
+        """VERDICT r3 #1: plant ~1e5 verbatim copies of ONE content (the
+        boilerplate-sha regime that dominates at verbatim-copy scale) and
+        fold them. Correctness: exactly one representative, n-1 exact
+        pairs, all anchored at the min doc_key. Plan: no Window operator
+        anywhere — the hot sha must be absorbed by partial aggregation on a
+        pruned projection, never sorted inside one window partition."""
+        n = 100_000
+        df = spark.range(n).select(
+            F.lit("r").alias("repo"),
+            F.format_string("f/%06d", "id").alias("path"),
+            F.lit("c").alias("commit"),
+            F.lit("text").alias("lang"),
+            F.lit("same boilerplate license header " * 8).alias("content"),
+        ).repartition(8)
+        keyed = key_docs(df)
+        rep_docs, pairs = exact_stage(keyed)
+        for d in (rep_docs, pairs):
+            plan = d._jdf.queryExecution().executedPlan().toString()
+            assert "Window" not in plan, plan
+        reps = rep_docs.collect()
+        assert len(reps) == 1
+        rep_key = reps[0]["doc_key"]
+        got = pairs.collect()
+        assert len(got) == n - 1
+        assert all(r["key_a"] == rep_key for r in got)
+        min_key = keyed.agg(F.min("doc_key")).collect()[0][0]
+        assert rep_key == min_key, "representative must be the min doc_key"
