@@ -211,8 +211,11 @@ class TestPlanInvariants:
         assert pair_mps, plan
         for cols in pair_mps:
             assert "content" not in cols and "wins_a" in cols, cols
+
+    def test_multimodal_metadata_pruned(self, spark):
         """Only (asset_id, kind, payload) reach the decode UDF — the media
-        metadata struct stays JVM-side (binary column pruning)."""
+        metadata struct stays JVM-side (binary column pruning). Split back
+        out of the substring plan test it was merged into (VERDICT r3 #3)."""
         from dedup.multimodal import assets_from_documents, extract_features
 
         docs = spark.read.parquet(f"{SF}/documents.parquet")
