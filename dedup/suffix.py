@@ -275,12 +275,44 @@ def _win_expr(enc_col: str, off_field: str, cap: int) -> str:
     window, i.e. exactly the bytes the old full-content path shipped. The
     windows are cut JVM-side (binary substring), so neither the key_b join
     shuffle nor the Arrow transfer to the verify kernel ever carries a full
-    document per candidate pair."""
+    document per candidate pair.
+
+    Each element is a (start, win) struct: the tile's byte start lets the
+    verify kernel map an anchor offset back to its tile and its position
+    inside it, which the diagonal-extension fast path needs (VERDICT r3 #2).
+    array_distinct still collapses duplicates — equal starts cut equal
+    bytes, so the structs are identical."""
     return (
-        f"array_distinct(transform(anchors, a -> substring({enc_col}, "
+        f"array_distinct(transform(anchors, a -> named_struct("
+        f"'start', greatest((a.{off_field} div {cap}) - 1, 0L) * {cap}, "
+        f"'win', substring({enc_col}, "
         f"cast(greatest((a.{off_field} div {cap}) - 1, 0) * {cap} + 1 as int), "
-        f"{3 * cap})))"
+        f"{3 * cap}))))"
     )
+
+
+def _diag_extend(a: np.ndarray, pos_a: int, b: np.ndarray, pos_b: int) -> int:
+    """Exact length of the common block through the diagonal (pos_a, pos_b):
+    byte equality extended right from the anchor and left from it, each a
+    single vectorized compare. Returns 0 when even the first byte differs
+    (a fingerprint hash collision). This is the VERDICT r3 #2 fast path:
+    a true shared block is sampled into its OWN anchors, so its full length
+    confirms here in ~1 probe and the galloping hash search afterwards only
+    has to refute improvements (one probe per window pair at best+1)."""
+    m2 = min(len(a) - pos_a, len(b) - pos_b)
+    if m2 <= 0:
+        return 0
+    eq = np.equal(a[pos_a : pos_a + m2], b[pos_b : pos_b + m2])
+    right = m2 if eq.all() else int(np.argmin(eq))
+    if right == 0:
+        return 0
+    m1 = min(pos_a, pos_b)
+    if m1 > 0:
+        eq_l = np.equal(a[pos_a - m1 : pos_a], b[pos_b - m1 : pos_b])[::-1]
+        left = m1 if eq_l.all() else int(np.argmin(eq_l))
+    else:
+        left = 0
+    return left + right
 
 
 def _has_common_block(
@@ -444,7 +476,7 @@ def substring_pairs(
         side_a.join(docs.withColumnRenamed("doc_key", "key_b")
                     .withColumnRenamed("content", "content_b"), "key_b")
         .withColumn("enc_b", F.encode("content_b", "UTF-8"))
-        .select("key_a", "key_b", "wins_a",
+        .select("key_a", "key_b", "anchors", "wins_a",
                 F.expr(_win_expr("enc_b", "off_b", cap)).alias("wins_b"))
     )
 
@@ -454,15 +486,39 @@ def substring_pairs(
                 continue
             rows = []
             for r in range(len(pdf)):
-                arrs_a = [np.frombuffer(w, dtype=np.uint8)
-                          for w in pdf["wins_a"].iat[r]]
-                arrs_b = [np.frombuffer(w, dtype=np.uint8)
-                          for w in pdf["wins_b"].iat[r]]
+                tiles_a = {
+                    int(w["start"]): np.frombuffer(w["win"], dtype=np.uint8)
+                    for w in pdf["wins_a"].iat[r]
+                }
+                tiles_b = {
+                    int(w["start"]): np.frombuffer(w["win"], dtype=np.uint8)
+                    for w in pdf["wins_b"].iat[r]
+                }
+                # fast path (VERDICT r3 #2): extend byte equality outward
+                # along each anchor's diagonal — the block a sampled gram
+                # sits in confirms at its exact length in one vectorized
+                # compare, so on near-identical big documents the hash
+                # search below degenerates to one refutation probe per
+                # window pair instead of ~2*log2(lcs) O(tile) probes
+                best = 0
+                for anc in pdf["anchors"].iat[r]:
+                    off_a, off_b = int(anc["off_a"]), int(anc["off_b"])
+                    sa_ = max(off_a // cap - 1, 0) * cap
+                    sb_ = max(off_b // cap - 1, 0) * cap
+                    a = tiles_a.get(sa_)
+                    b = tiles_b.get(sb_)
+                    if a is None or b is None:
+                        continue
+                    pos_a, pos_b = off_a - sa_, off_b - sb_
+                    if pos_a >= len(a) or pos_b >= len(b):
+                        continue
+                    best = max(best, _diag_extend(a, pos_a, b, pos_b))
+                arrs_a = list(tiles_a.values())
+                arrs_b = list(tiles_b.values())
                 # cache only the reused b-side hashes; the a-side window is
                 # hashed once per outer iteration, halving peak memory on
                 # the (rare) many-distinct-tile pairs
                 pbs = [_prefix_hashes(x) if len(x) else None for x in arrs_b]
-                best = 0
                 for a in arrs_a:
                     if len(a) == 0:
                         continue
@@ -471,7 +527,13 @@ def substring_pairs(
                         if len(b) == 0:
                             continue
                         # threshold best+1: windows that can't improve exit
-                        # after a single hash-intersection probe
+                        # after a single hash-intersection probe. The
+                        # cross-product stays: an anchor can pair a block's
+                        # first occurrence on one side with a LATER
+                        # occurrence on the other (fingerprints keep
+                        # first+last per gram), putting the true block on a
+                        # diagonal no anchor covers — exactness never rests
+                        # on the fast path alone.
                         l = _lcb_pre(a, pa, b, pbs[j],
                                      max(min_len, best + 1))
                         best = max(best, l)

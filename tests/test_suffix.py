@@ -218,3 +218,55 @@ class TestSubstringPass:
         assert len(anc[0]["anchors"]) <= MAX_ANCHORS
         rows = substring_pairs(df, cfg).collect()
         assert len(rows) == 1 and rows[0]["lcs_len"] >= 200_000 - 1
+
+
+class TestDiagonalExtension:
+    def test_diag_extend_exact(self):
+        """_diag_extend returns the exact common-block length through an
+        anchor diagonal: left+right byte runs, 0 on a first-byte mismatch
+        (hash collision)."""
+        from dedup.suffix import _diag_extend
+
+        rng = np.random.default_rng(11)
+        a = rng.integers(0, 4, 10_000).astype(np.uint8)
+        b = rng.integers(5, 9, 10_000).astype(np.uint8)
+        block = rng.integers(10, 250, 777).astype(np.uint8)
+        a[1000:1777] = block
+        b[4000:4777] = block
+        # anchor anywhere inside the block: full 777 recovered
+        for d in (0, 100, 776):
+            got = _diag_extend(a, 1000 + d, b, 4000 + d)
+            assert got == 777, (d, got)
+        # anchor on a mismatch diagonal: 0
+        assert _diag_extend(a, 1000, b, 4001) == 0
+        # block at array edges extends to the boundary
+        assert _diag_extend(a[1000:1777], 0, b[4000:4777], 0) == 777
+
+    def test_near_identical_bigdoc_kernel_bounded(self):
+        """VERDICT r3 #2 done-criterion: per-pair verify cost on big
+        near-identical docs. In-process replica of the verify kernel's
+        work on a 2 MiB x 2 MiB pair — diagonal extension must find the
+        exact block so every subsequent window-pair probe is a single
+        refutation. The old gallop-only path spent ~2*log2(lcs) O(n)
+        probes (~10s measured); the bound below fails loudly on any
+        regression to that regime while staying far from hypervisor
+        noise."""
+        import time
+
+        from dedup.suffix import _diag_extend, _lcb_pre, _prefix_hashes
+
+        rng = np.random.default_rng(13)
+        n = 2_000_000
+        a = rng.integers(97, 123, n).astype(np.uint8)
+        b = a.copy()
+        b[500_000:500_006] = ord("X")  # two edits -> 1 MiB shared middle
+        b[1_500_000:1_500_006] = ord("Y")
+        t0 = time.time()
+        # anchor inside the shared middle block, as sampling guarantees
+        best = _diag_extend(a, 700_000, b, 700_000)
+        pa, pb = _prefix_hashes(a), _prefix_hashes(b)
+        refuted = _lcb_pre(a, pa, b, pb, best + 1)
+        wall = time.time() - t0
+        assert best == 999_994
+        assert refuted == 0  # nothing longer exists -> single-probe refutation
+        assert wall < 5.0, f"verify kernel took {wall:.1f}s - gallop regression?"
