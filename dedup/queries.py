@@ -976,6 +976,145 @@ FROM (
 """
 
 
+def q_lsh_bucket_size_sum(spark, sf_dir):
+    """MASS-CONSERVATION ORACLE for the bucket-size histogram (VERDICT r3
+    #3): every band row lands in exactly one (band_id, band_hash) bucket,
+    so Σ bucket_size over ALL buckets equals cfg.bands × the number of
+    signature-eligible representatives — which SQL states without knowing
+    any hash (same representative discipline as minhash_band_parity)."""
+    bands = q_minhash_bands(spark, sf_dir)
+    return bucket_sizes(bands).agg(
+        F.sum("bucket_size").cast("long").alias("total_band_rows")
+    )
+
+
+SQL_LSH_BUCKET_SIZE_SUM = f"""
+SELECT CAST({CFG.bands} * count(DISTINCT sha256(coalesce(text, ''))) AS BIGINT)
+       AS total_band_rows
+FROM documents
+WHERE length(coalesce(text, '')) >= {CFG.min_content_len}
+"""
+
+
+def q_fingerprint_planted_parity(spark, sf_dir):
+    """INVARIANT ORACLE for winnowing fingerprints (VERDICT r3 #3): the
+    fingerprint is a pure function of content, so a verbatim copy planted
+    under a different identity (copy/... path → different doc_key) must
+    fingerprint identically to its original. Returns the planted ids whose
+    (doc, copy) fingerprints agree; SQL enumerates the planted ids, so any
+    identity leak into the kernel or nondeterminism across batches fails
+    the hash compare."""
+    d = _docs(spark, sf_dir)
+    base = d.where(F.col("doc_id") < 25)
+    reps = base.groupBy(F.sha2(_txt(), 256).alias("sha")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    copies = base.join(reps.select("doc_id"), "doc_id").select(
+        F.lit("src").alias("repo"),
+        F.format_string("copy/%012d", "doc_id").alias("path"),
+        F.lit("head").alias("commit"),
+        "lang",
+        _txt().alias("content"),
+    )
+    keyed = key_docs(documents_as_corpus(spark, sf_dir).unionByName(copies))
+    ids = keyed.select(
+        "doc_key",
+        F.regexp_extract("path", r"^(doc|copy)/(\d+)$", 1).alias("kind"),
+        F.regexp_extract("path", r"^(doc|copy)/(\d+)$", 2)
+        .cast("bigint")
+        .alias("doc_id"),
+    )
+    per_id = (
+        fingerprint_docs(keyed)
+        .join(ids, "doc_key")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("fingerprint").alias("nfp"),
+            F.count_distinct("kind").alias("nk"),
+        )
+    )
+    return per_id.where((F.col("nk") == 2) & (F.col("nfp") == 1)).select("doc_id")
+
+
+SQL_FINGERPRINT_PLANTED_PARITY = _SQL_PLANTED_IDS
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """PROJECTION ORACLE for multimodal feature extraction (VERDICT r3 #3):
+    the (asset_id, kind, n_bytes) projection of the decode output is fully
+    SQL-expressible — asset ids and kinds are derived from doc_id, and
+    n_bytes is the utf-8 octet length of the payload. Pins the adapter, the
+    Arrow round-trip and the byte accounting; the feature vectors stay
+    covered by multimodal_features (rows) + tests/test_multimodal.py."""
+    from dedup.multimodal import assets_from_documents, extract_features
+
+    feats = extract_features(assets_from_documents(_docs(spark, sf_dir)))
+    return feats.select("asset_id", "kind", F.col("n_bytes").cast("long"))
+
+
+SQL_MULTIMODAL_META = """
+SELECT printf('asset%06d', doc_id) AS asset_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes
+FROM documents
+"""
+
+
+def q_dedup_audit_identities(spark, sf_dir):
+    """ALGEBRAIC ORACLE companion for dedup_audit (VERDICT r3 #3): the
+    audit's slot accounting is recomputed independently from the raw band
+    table (per-bucket counts → C(sz,2) split by the cap, distinct-bucket
+    counts) and compared field by field; the histogram's total mass is the
+    SQL-stated cfg.bands × eligible reps. A drift in lsh_audit's
+    aggregation or a bucket lost between the two passes flips
+    identities_ok and fails the hash compare."""
+    from dedup.lsh import lsh_audit
+
+    bands = materialize(q_minhash_bands(spark, sf_dir), eager=False)
+    audit = lsh_audit(bands, CFG).collect()[0]
+    cap = CFG.band_bucket_cap
+    # independent recompute from a (bucket_size -> frequency) histogram:
+    # distinct sizes stay small at ANY corpus scale, so the driver pull is
+    # bounded; the arithmetic runs in numpy, a different execution path
+    # than lsh_audit's JVM aggregate
+    import numpy as np
+
+    hist = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("n"))
+        .groupBy("n")
+        .agg(F.count("*").alias("freq"))
+        .collect()
+    )
+    sz = np.array([r["n"] for r in hist], dtype=np.int64)
+    freq = np.array([r["freq"] for r in hist], dtype=np.int64)
+    slots = sz * (sz - 1) // 2
+    multi, over = sz >= 2, sz > cap
+    ok = (
+        audit["n_buckets"] == int(freq.sum())
+        and audit["n_multi_buckets"] == int(freq[multi].sum())
+        and audit["n_dropped_buckets"] == int(freq[over].sum())
+        and audit["eligible_pair_slots"]
+        == int((slots * freq)[multi & ~over].sum())
+        and audit["dropped_pair_slots"] == int((slots * freq)[over].sum())
+        and 0.0 <= audit["candidate_recall_floor"] <= 1.0
+    )
+    return spark.createDataFrame(
+        [(int((sz * freq).sum()), bool(ok))],
+        "total_band_rows bigint, identities_ok boolean",
+    )
+
+
+SQL_DEDUP_AUDIT_IDENTITIES = f"""
+SELECT CAST({CFG.bands} * count(DISTINCT sha256(coalesce(text, ''))) AS BIGINT)
+       AS total_band_rows,
+       TRUE AS identities_ok
+FROM documents
+WHERE length(coalesce(text, '')) >= {CFG.min_content_len}
+"""
+
+
 # ---------------------------------------------------------------------------
 # Rows-only queries (kernel semantics not expressible in ANSI SQL)
 # ---------------------------------------------------------------------------
@@ -1225,6 +1364,11 @@ QUERIES = {
     "asset_planted_recall": q_asset_planted_recall,
     "ann_lsh_planted_recall": q_ann_lsh_planted_recall,
     "fd_projection_norms": q_fd_projection_norms,
+    # VERDICT r3 #3: companions for the last uncompanioned rows-only queries
+    "lsh_bucket_size_sum": q_lsh_bucket_size_sum,
+    "fingerprint_planted_parity": q_fingerprint_planted_parity,
+    "multimodal_meta": q_multimodal_meta,
+    "dedup_audit_identities": q_dedup_audit_identities,
 }
 
 ORACLES = {
@@ -1260,4 +1404,8 @@ ORACLES = {
     "asset_planted_recall": SQL_ASSET_PLANTED_RECALL,
     "ann_lsh_planted_recall": SQL_ANN_LSH_PLANTED_RECALL,
     "fd_projection_norms": SQL_FD_PROJECTION_NORMS,
+    "lsh_bucket_size_sum": SQL_LSH_BUCKET_SIZE_SUM,
+    "fingerprint_planted_parity": SQL_FINGERPRINT_PLANTED_PARITY,
+    "multimodal_meta": SQL_MULTIMODAL_META,
+    "dedup_audit_identities": SQL_DEDUP_AUDIT_IDENTITIES,
 }
