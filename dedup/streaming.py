@@ -237,13 +237,60 @@ def read_stream_verified_pairs(wh: Warehouse) -> DataFrame:
     return wh.read("stream_verified_pairs").select("key_a", "key_b").distinct()
 
 
+LABEL_TABLE = "stream_cluster_labels"
+
+
+def _effective_edges(edges: DataFrame, prior: DataFrame) -> DataFrame:
+    """Accumulated pair rows CONTRACTED against the prior label table: an
+    edge whose endpoints already share a cluster label is a no-op and is
+    dropped; the rest map each endpoint to its prior label (supernode) or
+    itself when unlabeled. Union-find then runs over this quotient graph —
+    its size is proportional to the NEW work (new edges + the labels they
+    touch), not the accumulated pair history (VERDICT r3 #4)."""
+    lab_u = prior.select(F.col("doc_key").alias("u"), F.col("cluster_id").alias("lu"))
+    lab_v = prior.select(F.col("doc_key").alias("v"), F.col("cluster_id").alias("lv"))
+    e = (
+        edges.select(F.col("key_a").alias("u"), F.col("key_b").alias("v"))
+        .join(lab_u, "u", "left")
+        .join(lab_v, "v", "left")
+    )
+    return (
+        e.where(
+            F.col("lu").isNull() | F.col("lv").isNull()
+            | (F.col("lu") != F.col("lv"))
+        )
+        .select(
+            F.coalesce("lu", "u").alias("key_a"),
+            F.coalesce("lv", "v").alias("key_b"),
+        )
+        .where(F.col("key_a") != F.col("key_b"))
+        .distinct()
+    )
+
+
 def stream_clusters(spark: SparkSession, wh: Warehouse, cfg: DedupConfig
                     ) -> DataFrame:
-    """(doc_key, cluster_id) over everything ingested so far: union-find on
-    the accumulated exact + verified pair tables, singletons attached from
-    the full ingested doc_key log (stream_doc_keys), so every ingested doc
-    is labeled exactly like run_dedup's attach_singletons — including docs
-    below min_content_len that never reach the signature stage.
+    """(doc_key, cluster_id) over everything ingested so far — labels are
+    maintained INCREMENTALLY (VERDICT r3 #4): the previous call's label
+    table is persisted (stream_cluster_labels) and each call union-finds
+    only the QUOTIENT graph — edges not already folded into one cluster,
+    contracted to their prior labels — so per-call clustering work is
+    proportional to the new batch, not the accumulated pair history. The
+    contraction pass itself is one join of the pair tables against the
+    label table (no fixpoint iterations over history). Labels equal a
+    from-scratch union-find because prior labels are component minima:
+    merging supernodes by min label yields the global component minimum.
+
+    Crash-safe without epoch bookkeeping (at-least-once appends make epoch
+    watermarks unsound): already-folded edges contract to self-loops and
+    vanish, replayed rows are deduped on read, and a missing/partial label
+    row simply re-enters the quotient graph through its surviving edges,
+    so the maintenance is idempotent given the pair tables.
+
+    Singletons are attached from the full ingested doc_key log
+    (stream_doc_keys), so every ingested doc is labeled exactly like
+    run_dedup's attach_singletons — including docs below min_content_len
+    that never reach the signature stage.
 
     Label parity with the batch pipeline holds when no band bucket crosses
     band_bucket_cap BETWEEN rounds: a bucket that grows over the cap stops
@@ -266,8 +313,31 @@ def stream_clusters(spark: SparkSession, wh: Warehouse, cfg: DedupConfig
     if wh.exists("stream_verified_pairs"):
         edges = edges.unionByName(read_stream_verified_pairs(wh))
     members = wh.read("stream_doc_keys").select("doc_key").distinct()
-    comps = connected_components(edges)
-    return attach_singletons(comps, members)
+    if wh.exists(LABEL_TABLE):
+        prior = wh.read(LABEL_TABLE).select("doc_key", "cluster_id").distinct()
+        quotient = _effective_edges(edges, prior)
+        comp = connected_components(quotient)
+        # relabel prior members whose (super)label merged; keep the rest
+        remap = comp.select(
+            F.col("doc_key").alias("cluster_id"),
+            F.col("cluster_id").alias("new_label"),
+        )
+        relabeled = (
+            prior.join(remap, "cluster_id", "left")
+            .select(
+                "doc_key",
+                F.coalesce("new_label", "cluster_id").alias("cluster_id"),
+            )
+        )
+        # nodes first seen in this quotient graph (new docs with edges)
+        fresh = comp.join(prior.select("doc_key"), "doc_key", "left_anti")
+        labels = attach_singletons(relabeled.unionByName(fresh), members)
+    else:
+        labels = attach_singletons(connected_components(edges), members)
+    # lineage cut before overwriting the table the plan may be reading from
+    labels = materialize(labels.select("doc_key", "cluster_id"), eager=True)
+    wh.write(labels, LABEL_TABLE, cfg.config_hash())
+    return labels
 
 
 def read_stream_exact_pairs(wh: Warehouse) -> DataFrame:

