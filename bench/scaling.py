@@ -130,7 +130,7 @@ def main() -> None:
     with open(args.out, "w") as f:
         f.write(
             "# BENCH — MinHash+LSH throughput scaling (sandbox protocol)\n\n"
-            "Same job (key → exact-fold via window → signatures → bands →\n"
+            "Same job (key → skew-safe exact fold (min-agg + join) → signatures → bands →\n"
             "candidate pairs), same deterministic input, two parallelism levels\n"
             "in fresh JVMs, each PINNED to its CPU budget with taskset (local-mode\n"
             "Python workers otherwise leak onto idle cores and understate the\n"
