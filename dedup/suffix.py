@@ -27,6 +27,12 @@ pairs sharing a verbatim block of >= cfg.substring_min_len chars:
    verified in place at bounded per-pair cost — no content-prefix
    truncation. The tiles are cut JVM-side before the key_b shuffle and
    the Arrow transfer, so full document content never ships per pair.
+   A DIAGONAL-EXTENSION fast path (VERDICT r3 #2) runs first: byte
+   equality is extended outward along each anchor's diagonal, so a true
+   shared block confirms at its exact length in ~1 vectorized compare
+   and the hash search only refutes improvements (one probe per window
+   pair) — the ~2*log2(lcs) probe regime survives only for blocks whose
+   anchors pair mismatched occurrences.
 
 The Manber–Myers suffix array + vectorized doubling-rank LCP kernels remain
 exported: they are the exact closed-form oracle the hash path is tested
