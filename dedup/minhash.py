@@ -52,9 +52,18 @@ def with_doc_key(df: DataFrame, key_cols: list[str], content_col: str = "content
     """doc_key = sha2 over NUL-joined identity columns (FIXTURES.md F1),
     content_sha = sha2(content) — both JVM-side, whole-stage-codegen'd.
     content_sha is the per-row invariant vs the reference corpus
-    (BASELINE.json input_hint)."""
+    (BASELINE.json input_hint).
+
+    If the input already carries a `content_sha` column (stored at ingest —
+    see warehouse.ingest_corpus), it is TRUSTED and reused: downstream
+    column-pruned passes over (content_sha, doc_key) then scan 64 chars/row
+    instead of re-reading and re-hashing every content byte — the preferred
+    deployment at 10^12-file scale (VERDICT r4 #1)."""
     key = F.sha2(F.concat_ws("\x00", *[F.col(c) for c in key_cols]), 256)
-    return df.withColumn("doc_key", key).withColumn(
+    out = df.withColumn("doc_key", key)
+    if "content_sha" in df.columns:
+        return out
+    return out.withColumn(
         "content_sha", F.sha2(F.coalesce(F.col(content_col), F.lit("")), 256)
     )
 

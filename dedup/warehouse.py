@@ -188,6 +188,26 @@ class Warehouse:
         m["tables"].pop(name, None)
         self._save_manifest(m)
 
+    def ingest_corpus(self, df: DataFrame, name: str = "corpus",
+                      content_col: str = "content",
+                      config_hash: str = "ingest") -> int:
+        """Land a raw corpus with `content_sha` as a STORED column.
+
+        sha2(content) is computed exactly once, here, JVM-side; every
+        downstream pass (the exact fold's pruned (content_sha, doc_key)
+        projection, audits, the per-row invariant check vs the reference)
+        then reads a 64-char column instead of re-hashing content bytes —
+        at 10^12-file scale the difference between a metadata-width scan
+        and a second full pass over the corpus (VERDICT r4 #1).
+        run_dedup detects the stored column and skips the materialize
+        fallback in exact_stage."""
+        if "content_sha" not in df.columns:
+            df = df.withColumn(
+                "content_sha",
+                F.sha2(F.coalesce(F.col(content_col), F.lit("")), 256),
+            )
+        return self.write(df, name, config_hash)
+
     def checkpoint_stats(self, name: str = "checkpoint_signatures") -> DataFrame:
         """Size accounting for checkpoint tables (the reference's
         getSizeBytes/getCompactSizeBytes surface, Matrix.java:164-189, as a
