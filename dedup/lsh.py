@@ -44,18 +44,27 @@ def lsh_audit(bands_df: DataFrame, cfg: DedupConfig) -> DataFrame:
     One row: (n_buckets, n_multi_buckets, n_dropped_buckets,
     eligible_pair_slots, dropped_pair_slots, candidate_recall_floor).
     """
-    sz = F.col("bucket_size").cast("double")
-    slots = sz * (sz - F.lit(1.0)) / F.lit(2.0)
+    # INTEGER slot arithmetic (ADVICE r4): bucket_size*(bucket_size-1) DIV 2
+    # is exact bigint — the previous double-based form silently loses
+    # precision once pair slots exceed 2^53. Bigint overflows loudly under
+    # ANSI beyond ~4.3e9-row buckets instead of diverging silently.
+    # Sums are coalesced to 0 so an EMPTY band table yields an all-zero
+    # audit row, not nulls that poison downstream comparisons.
+    slots = F.expr("bucket_size * (bucket_size - 1) DIV 2")
     over = F.col("bucket_size") > cfg.band_bucket_cap
     multi = F.col("bucket_size") >= 2
     return bucket_sizes(bands_df).agg(
         F.count("*").alias("n_buckets"),
-        F.sum(multi.cast("long")).alias("n_multi_buckets"),
-        F.sum(over.cast("long")).alias("n_dropped_buckets"),
-        F.sum(F.when(multi & ~over, slots).otherwise(F.lit(0.0)))
-        .cast("long").alias("eligible_pair_slots"),
-        F.sum(F.when(over, slots).otherwise(F.lit(0.0)))
-        .cast("long").alias("dropped_pair_slots"),
+        F.coalesce(F.sum(multi.cast("long")), F.lit(0))
+        .alias("n_multi_buckets"),
+        F.coalesce(F.sum(over.cast("long")), F.lit(0))
+        .alias("n_dropped_buckets"),
+        F.coalesce(
+            F.sum(F.when(multi & ~over, slots).otherwise(F.lit(0))), F.lit(0)
+        ).alias("eligible_pair_slots"),
+        F.coalesce(
+            F.sum(F.when(over, slots).otherwise(F.lit(0))), F.lit(0)
+        ).alias("dropped_pair_slots"),
     ).withColumn(
         "candidate_recall_floor",
         F.round(

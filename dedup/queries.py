@@ -1076,10 +1076,8 @@ def q_dedup_audit_identities(spark, sf_dir):
     cap = CFG.band_bucket_cap
     # independent recompute from a (bucket_size -> frequency) histogram:
     # distinct sizes stay small at ANY corpus scale, so the driver pull is
-    # bounded; the arithmetic runs in numpy, a different execution path
-    # than lsh_audit's JVM aggregate
-    import numpy as np
-
+    # bounded; the arithmetic runs driver-side in Python ints, a different
+    # execution path than lsh_audit's JVM aggregate
     hist = (
         bands.groupBy("band_id", "band_hash")
         .agg(F.count("*").alias("n"))
@@ -1087,21 +1085,29 @@ def q_dedup_audit_identities(spark, sf_dir):
         .agg(F.count("*").alias("freq"))
         .collect()
     )
-    sz = np.array([r["n"] for r in hist], dtype=np.int64)
-    freq = np.array([r["freq"] for r in hist], dtype=np.int64)
-    slots = sz * (sz - 1) // 2
-    multi, over = sz >= 2, sz > cap
+    # Python-int arithmetic (exact at any magnitude, unlike int64/double —
+    # ADVICE r4); audit fields read through `or 0` so an EMPTY band table
+    # compares as zeros instead of None == 0 → False with no diagnostic
+    sz = [int(r["n"]) for r in hist]
+    freq = [int(r["freq"]) for r in hist]
+    slots = [s * (s - 1) // 2 for s in sz]
+    multi = [s >= 2 for s in sz]
+    over = [s > cap for s in sz]
     ok = (
-        audit["n_buckets"] == int(freq.sum())
-        and audit["n_multi_buckets"] == int(freq[multi].sum())
-        and audit["n_dropped_buckets"] == int(freq[over].sum())
-        and audit["eligible_pair_slots"]
-        == int((slots * freq)[multi & ~over].sum())
-        and audit["dropped_pair_slots"] == int((slots * freq)[over].sum())
-        and 0.0 <= audit["candidate_recall_floor"] <= 1.0
+        int(audit["n_buckets"] or 0) == sum(freq)
+        and int(audit["n_multi_buckets"] or 0)
+        == sum(f for f, m in zip(freq, multi) if m)
+        and int(audit["n_dropped_buckets"] or 0)
+        == sum(f for f, o in zip(freq, over) if o)
+        and int(audit["eligible_pair_slots"] or 0)
+        == sum(s * f for s, f, m, o in zip(slots, freq, multi, over)
+               if m and not o)
+        and int(audit["dropped_pair_slots"] or 0)
+        == sum(s * f for s, f, o in zip(slots, freq, over) if o)
+        and 0.0 <= float(audit["candidate_recall_floor"] or 0.0) <= 1.0
     )
     return spark.createDataFrame(
-        [(int((sz * freq).sum()), bool(ok))],
+        [(sum(s * f for s, f in zip(sz, freq)), bool(ok))],
         "total_band_rows bigint, identities_ok boolean",
     )
 

@@ -237,6 +237,43 @@ class TestMinHashSketch:
         back_blk = SignatureBlock.from_bytes(bytes(v1b))
         assert back_blk.to_bytes()[5:] == blk.to_bytes()[5:]
 
+    def test_pre_widening_v1_image_rejected_by_name(self):
+        """ADVICE r4: v1 acceptance is conditional on the buffer matching
+        the v2 layout arithmetic exactly. A PRE-widening v1 image (24-byte
+        seed32 header — checkpointing predates the seed64 widening) would
+        misparse every field under the 28-byte struct; it must be rejected
+        with 'unsupported ser-ver', never a misleading truncation error."""
+        from dedup.sketches import SignatureBlock
+
+        a = MinHashSketch(); a.update(self._sig(7))
+        img = bytearray(a.to_bytes())
+        img[4] = 1
+        # simulate the narrower pre-widening header: drop 4 of the 8 seed
+        # bytes (header 28 -> 24), payload unchanged -> length arithmetic
+        # can't match the v2 layout
+        pre = bytes(img[:12]) + bytes(img[16:])
+        with pytest.raises(SketchCorruptionError, match="unsupported ser-ver 1"):
+            MinHashSketch.from_bytes(pre)
+        # empty pre-widening image: 24 bytes, shorter than the v2 header
+        empty = bytearray(MinHashSketch().to_bytes())
+        empty[4] = 1
+        pre_empty = bytes(empty[:12]) + bytes(empty[16:])
+        assert len(pre_empty) == 24
+        with pytest.raises(SketchCorruptionError, match="unsupported ser-ver 1"):
+            MinHashSketch.from_bytes(pre_empty)
+
+        blk = SignatureBlock(num_perm=8, seed=42)
+        blk.update(*self._block_rows())
+        bimg = bytearray(blk.to_bytes())
+        bimg[4] = 1
+        bpre = bytes(bimg[:12]) + bytes(bimg[16:])
+        with pytest.raises(SketchCorruptionError, match="unsupported ser-ver 1"):
+            SignatureBlock.from_bytes(bpre)
+        bempty = bytearray(SignatureBlock(num_perm=8, seed=42).to_bytes())
+        bempty[4] = 1
+        with pytest.raises(SketchCorruptionError, match="unsupported ser-ver 1"):
+            SignatureBlock.from_bytes(bytes(bempty[:12]) + bytes(bempty[16:]))
+
     @staticmethod
     def _block_rows():
         rng = np.random.default_rng(7)

@@ -271,6 +271,99 @@ class TestStreamingIngest:
         }
         assert again == want
 
+    def test_label_delta_write_proportional_to_batch(self, spark, tmp_path):
+        """VERDICT r4 #2: stream_clusters must not rewrite the whole label
+        table per call — it appends a delta generation containing ONLY the
+        labels that changed this call (new docs + merged components), so
+        per-call WRITE work is proportional to the batch, not the corpus.
+        Readers reconcile latest-generation-wins and still match batch."""
+        from dedup.pipeline import run_dedup
+        from dedup.streaming import LABEL_TABLE, stream_clusters
+
+        pdf1, _ = make_corpus(n_base=40, seed=91)
+        pdf2, _ = make_corpus(n_base=8, seed=777)
+        pdf2 = pdf2.copy()
+        pdf2["path"] = "b2/" + pdf2["path"]
+        in_dir = str(tmp_path / "in_delta")
+        os.makedirs(in_dir)
+        wh = Warehouse(spark, str(tmp_path / "wh_delta"))
+        ckpt = str(tmp_path / "ck_delta")
+
+        spark.createDataFrame(pdf1).coalesce(1).write.mode("append").parquet(in_dir)
+        ingest_stream(spark, in_dir, wh, CFG, ckpt)
+        stream_clusters(spark, wh, CFG)
+        stored1 = wh.read(LABEL_TABLE)
+        assert "ver" in stored1.columns
+        n_gen0 = stored1.count()
+
+        spark.createDataFrame(pdf2).coalesce(1).write.mode("append").parquet(in_dir)
+        ingest_stream(spark, in_dir, wh, CFG, ckpt)
+        labels2 = stream_clusters(spark, wh, CFG)
+
+        stored2 = wh.read(LABEL_TABLE)
+        max_ver = stored2.agg(F.max("ver")).collect()[0][0]
+        assert max_ver == 1, "second call must append a new delta generation"
+        delta_keys = {
+            r["doc_key"] for r in
+            stored2.where(F.col("ver") == max_ver).select("doc_key").collect()
+        }
+        batch2_keys = {
+            r["doc_key"]
+            for r in key_docs(spark.createDataFrame(pdf2))
+            .select("doc_key").collect()
+        }
+        # the delta is the new docs plus the handful of batch-1 docs whose
+        # component merged across batches (e.g. the shared empty file) —
+        # NEVER a rewrite of generation 0
+        assert batch2_keys <= delta_keys, "new docs missing from the delta"
+        n_merged = len(delta_keys - batch2_keys)
+        assert n_merged <= 3, (
+            f"delta rewrote {n_merged} unrelated gen-0 rows (gen0={n_gen0})"
+        )
+
+        # reconciled labels still equal a batch run over the full corpus
+        full = pd.concat([pdf1, pdf2], ignore_index=True)
+        got = {r["doc_key"]: r["cluster_id"] for r in labels2.collect()}
+        want = {
+            r["doc_key"]: r["cluster_id"]
+            for r in run_dedup(spark, spark.createDataFrame(full), CFG).collect()
+        }
+        assert got == want
+
+    def test_stale_config_label_table_dropped(self, spark, tmp_path):
+        """ADVICE r4: a label table persisted under a DIFFERENT config hash
+        must not seed the quotient graph — stale merges would bake into all
+        future labels. stream_clusters drops it and rebuilds from the pair
+        tables."""
+        from dedup.pipeline import run_dedup
+        from dedup.streaming import LABEL_TABLE, stream_clusters
+
+        pdf, _ = make_corpus(n_base=20, seed=55)
+        in_dir = str(tmp_path / "in_stale")
+        os.makedirs(in_dir)
+        wh = Warehouse(spark, str(tmp_path / "wh_stale"))
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(in_dir)
+        ingest_stream(spark, in_dir, wh, CFG, str(tmp_path / "ck_stale"))
+
+        # adversarial prior: every doc collapsed into ONE cluster, recorded
+        # under a different config hash (e.g. a run with other LSH params)
+        keyed = key_docs(spark.createDataFrame(pdf))
+        fake = keyed.select(
+            "doc_key", F.lit("0" * 64).alias("cluster_id"),
+            F.lit(0).alias("ver"),
+        )
+        wh.write(fake, LABEL_TABLE, "deadbeefdeadbeef")
+
+        got = {
+            r["doc_key"]: r["cluster_id"]
+            for r in stream_clusters(spark, wh, CFG).collect()
+        }
+        want = {
+            r["doc_key"]: r["cluster_id"]
+            for r in run_dedup(spark, spark.createDataFrame(pdf), CFG).collect()
+        }
+        assert got == want, "stale-config label table leaked into labels"
+
     def test_stream_clusters_empty_warehouse(self, spark, tmp_path):
         """ADVICE r3: stream_clusters on a warehouse where no non-empty
         batch was ever ingested (fresh/empty input dir) must yield an empty
