@@ -65,6 +65,58 @@ def kmv_fold(mins: np.ndarray, new_hashes: np.ndarray, k: int) -> np.ndarray:
     return np.unique(np.concatenate([mins, new_hashes]))[:k]
 
 
+def _k_smallest(df: DataFrame, keys: list[str], k: int,
+                salts: int = 64) -> DataFrame:
+    """k smallest `h` per key group WITHOUT a single-task-per-group sort:
+    level 1 takes the k smallest per (keys, h mod salts) — `salts` parallel
+    sorts of ~1/salts of the group each — and level 2 sorts only the
+    <= k*salts survivors per group. The global k smallest are always
+    contained in the union of per-salt k smallest, so the result is
+    identical to the naive window; a lone 10^9-distinct group costs `salts`
+    bounded tasks plus one k*salts-row sort instead of one 10^9-row sort."""
+    from pyspark.sql import Window
+
+    salted = df.withColumn(
+        "salt", F.pmod(F.xxhash64("h"), F.lit(salts)).cast("int")
+    )
+    w1 = Window.partitionBy(*keys, "salt").orderBy("h")
+    survivors = (
+        salted.withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= k)
+        .drop("rn", "salt")
+    )
+    w2 = Window.partitionBy(*keys).orderBy("h")
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def _with_kmv_estimate(grouped: DataFrame, k: int) -> DataFrame:
+    """(.., n_docs, n_in, kth) -> (.., n_docs, est_distinct, dup_rate):
+    the SQL analog of kmv_estimate, clamped by the exact row count (a sound
+    upper bound on the distinct count, so clamping strictly reduces error
+    and keeps dup_rate >= 0)."""
+    u = (F.col("kth").cast("double") + F.lit(2.0**63)) / F.lit(2.0**64)
+    est = F.when(F.col("n_in") < k, F.col("n_in").cast("double")).otherwise(
+        F.lit(float(k - 1)) / u
+    )
+    return (
+        grouped.withColumn("est_distinct",
+                           F.least(est.cast("long"), F.col("n_docs")))
+        .withColumn(
+            "dup_rate",
+            F.round(
+                F.lit(1.0)
+                - F.col("est_distinct").cast("double") / F.col("n_docs"),
+                6,
+            ),
+        )
+        .drop("n_in", "kth")
+    )
+
+
 def lang_distinct_kmv(
     df: DataFrame,
     group_col: str = "lang",
@@ -85,8 +137,6 @@ def lang_distinct_kmv(
     a lone 10^9-distinct group costs `salts` bounded tasks plus one
     64k-row sort instead of one 10^9-row sort. Content never shuffles.
     """
-    from pyspark.sql import Window
-
     hashed = df.select(
         F.col(group_col).alias("grp"), F.xxhash64(F.col(content_col)).alias("h")
     )
@@ -96,42 +146,85 @@ def lang_distinct_kmv(
     # exchange reuse never fires — measured as two full copies of the heavy
     # aggregate. The count branch below shuffles only map-side partials.
     n = hashed.groupBy("grp").agg(F.count("*").alias("n_docs"))
-    dh = hashed.distinct().withColumn(
-        "salt", F.pmod(F.xxhash64("h"), F.lit(salts)).cast("int")
-    )
-    w1 = Window.partitionBy("grp", "salt").orderBy("h")
-    survivors = (
-        dh.withColumn("rn", F.row_number().over(w1))
-        .where(F.col("rn") <= k)
-        .drop("rn", "salt")
-    )
-    w2 = Window.partitionBy("grp").orderBy("h")
     sk = (
-        survivors.withColumn("rn", F.row_number().over(w2))
-        .where(F.col("rn") <= k)
+        _k_smallest(hashed.distinct(), ["grp"], k, salts)
         .groupBy("grp")
         .agg(F.count("*").alias("n_in"), F.max("h").alias("kth"))
     )
-    u = (F.col("kth").cast("double") + F.lit(2.0**63)) / F.lit(2.0**64)
-    est = F.when(F.col("n_in") < k, F.col("n_in").cast("double")).otherwise(
-        F.lit(float(k - 1)) / u
-    )
     return (
-        n.join(sk, "grp")
-        # the estimator can overshoot in the approximate regime; the row
-        # count is a sound upper bound on the distinct count, so clamping
-        # strictly reduces error (and keeps dup_rate >= 0)
-        .withColumn("est_distinct", F.least(est.cast("long"), F.col("n_docs")))
-        .withColumn(
-            "dup_rate",
-            F.round(
-                F.lit(1.0)
-                - F.col("est_distinct").cast("double") / F.col("n_docs"),
-                6,
-            ),
-        )
+        _with_kmv_estimate(n.join(sk, "grp"), k)
         .select(F.col("grp").alias(group_col), "n_docs", "est_distinct",
                 "dup_rate")
+    )
+
+
+def kmv_rollup(
+    df: DataFrame,
+    dims: list[str] | tuple[str, ...] = ("lang", "source"),
+    content_col: str = "content",
+    k: int = DEFAULT_K,
+    salts: int = 64,
+) -> DataFrame:
+    """Dedup-rate rollup over EVERY grouping set of `dims` (the CUBE) from
+    MERGED KMV sketches — sketch mergeability doing the work grouping sets
+    normally redo from raw data (VERDICT r4 #7: sketches × grouping sets in
+    one query).
+
+    The finest-grain (leaf) sketches are built ONCE from the corpus — one
+    distinct shuffle of narrow (dims, hash) rows, content never shuffles —
+    then every coarser grouping set's sketch is the k smallest of the UNION
+    of its leaves' sketch rows. That union is exact KMV merge semantics:
+    each leaf keeps its k smallest distinct hashes, and any rollup's global
+    k minima are contained in the union of its leaves' k minima, so the
+    merged estimate is identical to a sketch built directly on the rollup.
+    Per-rollup work is bounded by k x n_leaves rows regardless of corpus
+    size. Exact doc counts come from one cube() over the same narrow rows
+    (map-side-combinable). Aggregated-out dimensions surface as '(all)',
+    mirroring corpus_cube, so the output is null-free.
+
+    Estimates are exact while each grouping set's distinct count < k (the
+    driver-testdata regime for the default k), approximate-with-clamp
+    beyond (see kmv_estimate)."""
+    import itertools
+    from functools import reduce
+
+    dims = list(dims)
+    hashed = df.select(
+        *[F.col(d) for d in dims], F.xxhash64(F.col(content_col)).alias("h")
+    )
+    counts = (
+        hashed.cube(*dims)
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            *[F.coalesce(F.col(d), F.lit("(all)")).alias(d) for d in dims],
+            "n_docs",
+        )
+    )
+    leaf_sk = _k_smallest(hashed.distinct(), dims, k, salts)
+    expanded = reduce(
+        DataFrame.unionByName,
+        [
+            leaf_sk.select(
+                *[
+                    (F.col(d) if d in keep else F.lit("(all)")).alias(d)
+                    for d in dims
+                ],
+                "h",
+            )
+            for r in range(len(dims) + 1)
+            for keep in itertools.combinations(dims, r)
+        ],
+    )
+    # the same hash can reach a rollup through several leaves — distinct
+    # before re-capping (KMV merges on the union of DISTINCT values)
+    sk = (
+        _k_smallest(expanded.distinct(), dims, k, salts)
+        .groupBy(*dims)
+        .agg(F.count("*").alias("n_in"), F.max("h").alias("kth"))
+    )
+    return (
+        _with_kmv_estimate(counts.join(sk, dims), k)
+        .select(*dims, "n_docs", "est_distinct", "dup_rate")
     )
 
 

@@ -522,6 +522,35 @@ FROM documents GROUP BY lang
 """
 
 
+def q_dedup_rate_rollup(spark, sf_dir):
+    """Dedup-rate over EVERY grouping set of (lang, source) from merged KMV
+    sketches (dedup/kmv.kmv_rollup): leaf sketches built once, coarser
+    grouping sets estimated from sketch UNIONS instead of re-scanning the
+    corpus — the sketch-mergeability + grouping-sets surface in one
+    oracle-checked query (VERDICT r4 #7). EXACT-REGIME ORACLE: k=8192
+    exceeds the GLOBAL distinct count through sf0.1 (4992), so every
+    grouping set's estimate equals COUNT(DISTINCT content) and the DuckDB
+    CUBE is an exact oracle; beyond that regime the merged estimate stays a
+    clamped KMV approximation."""
+    from dedup.kmv import kmv_rollup
+
+    d = _docs(spark, sf_dir).select(
+        "lang", "source", F.coalesce("text", F.lit("")).alias("content")
+    )
+    return kmv_rollup(d, dims=("lang", "source"), k=8192)
+
+
+SQL_DEDUP_RATE_ROLLUP = """
+SELECT coalesce(lang, '(all)') AS lang,
+       coalesce(source, '(all)') AS source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT coalesce(text, '')) AS BIGINT) AS est_distinct,
+       ROUND(1.0 - CAST(count(DISTINCT coalesce(text, '')) AS DOUBLE)
+                   / count(*), 6) AS dup_rate
+FROM documents GROUP BY CUBE(lang, source)
+"""
+
+
 def q_cluster_sha_containment(spark, sf_dir):
     """INVARIANT ORACLE for the flagship pipeline: verbatim copies are
     planted (docs with id < 50 duplicated under a different path, so a
@@ -1351,6 +1380,7 @@ QUERIES = {
     "asset_near_dups": q_asset_near_dups,
     # invariant-oracle queries (kernel pipelines pinned from the SQL side)
     "lang_distinct_kmv": q_lang_distinct_kmv,
+    "dedup_rate_rollup": q_dedup_rate_rollup,
     "cluster_sha_containment": q_cluster_sha_containment,
     "cluster_canonical_labels": q_cluster_canonical_labels,
     "substring_share64": q_substring_share64,
@@ -1396,6 +1426,7 @@ ORACLES = {
     "user_event_stats": SQL_USER_EVENT_STATS,
     "asset_exact_dups": SQL_ASSET_EXACT_DUPS,
     "lang_distinct_kmv": SQL_LANG_DISTINCT_KMV,
+    "dedup_rate_rollup": SQL_DEDUP_RATE_ROLLUP,
     "cluster_sha_containment": SQL_CLUSTER_SHA_CONTAINMENT,
     "cluster_canonical_labels": SQL_CLUSTER_CANONICAL_LABELS,
     "substring_share64": SQL_SUBSTRING_SHARE64,

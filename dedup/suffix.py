@@ -158,6 +158,10 @@ def anchored_candidates(fp_df: DataFrame, cfg: DedupConfig,
         F.col("a.fp_off").alias("off_a"),
         F.col("b.fp_off").alias("off_b"),
     )
+    # Window over PAIR KEYS only — the engine-wide invariant is "no Window
+    # over a content-carrying child" (plan-tested across run_dedup and
+    # substring_pairs): these rows are 4 fixed-width columns, partitions are
+    # bounded by fingerprints-per-pair, and content never reaches this plan.
     w = Window.partitionBy("key_a", "key_b").orderBy(
         F.xxhash64("off_a", "off_b"), F.asc("off_a"), F.asc("off_b")
     )

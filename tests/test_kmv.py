@@ -97,6 +97,52 @@ class TestBatch:
             assert abs(want - grp["h"].nunique()) / grp["h"].nunique() < 0.8
 
 
+class TestRollup:
+    def test_merged_rollup_equals_direct_sketch_every_grouping_set(self, spark):
+        """kmv_rollup builds coarse grouping sets by MERGING leaf sketches;
+        KMV merge semantics say that must equal a sketch built directly on
+        the rollup's rows — pinned here in the approximate regime (k=16 <
+        distincts), where a merge bug (e.g. missing re-distinct or re-cap)
+        would shift the k-th minimum and the estimate."""
+        from dedup.kmv import kmv_rollup
+
+        n = 400
+        pdf = pd.DataFrame(
+            {
+                "lang": [f"l{i % 3}" for i in range(n)],
+                "source": [f"s{i % 4}" for i in range(n)],
+                "content": [f"doc {i % 3} {(i // 3) % (n // 4)}" for i in range(n)],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        k = 16
+        got = {
+            (r["lang"], r["source"]): (r["n_docs"], r["est_distinct"])
+            for r in kmv_rollup(df, ("lang", "source"), k=k).collect()
+        }
+        hashes = df.select(
+            "lang", "source", F.xxhash64("content").alias("h")
+        ).toPandas()
+        A = "(all)"
+        sets = [("lang", "source"), ("lang",), ("source",), ()]
+        n_checked = 0
+        for keep in sets:
+            gb = hashes.groupby(list(keep)) if keep else [((), hashes)]
+            for key, grp in gb:
+                key = key if isinstance(key, tuple) else (key,)
+                full = dict(zip(keep, key))
+                rkey = (full.get("lang", A), full.get("source", A))
+                mins = kmv_fold(
+                    np.empty(0, np.int64),
+                    grp["h"].drop_duplicates().to_numpy(np.int64), k
+                )
+                want = min(int(kmv_estimate(len(mins), int(mins[-1]), k)),
+                           len(grp))
+                assert got[rkey] == (len(grp), want), rkey
+                n_checked += 1
+        assert n_checked == len(got)  # every grouping-set row accounted for
+
+
 class TestStreaming:
     def test_state_folds_across_runs(self, spark, tmp_path):
         """Two AvailableNow runs over a growing directory: the second run

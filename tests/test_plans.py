@@ -92,6 +92,41 @@ class TestPlanInvariants:
             assert "Window" not in plan, plan
             assert "partial_min" in plan, plan
 
+    def test_no_window_over_content_pipeline_wide(self, spark, corpus):
+        """VERDICT r4 #5: turn the exact-stage invariant into an engine-wide
+        regression fence — in the FULL run_dedup and substring_pairs plans,
+        any Window operator's child schema must be content-free. A Window
+        whose child carries content pins every copy of a hot partition key
+        (with its content) into one unsplittable in-memory sort."""
+        from dedup.config import DedupConfig
+        from dedup.pipeline import run_dedup
+        from dedup.suffix import substring_pairs
+
+        def windows_with_content(df):
+            """Walk the optimized logical plan; return the child output
+            schemas of Window nodes that carry a content/text column."""
+            bad = []
+            stack = [df._jdf.queryExecution().optimizedPlan()]
+            while stack:
+                node = stack.pop()
+                kids = node.children()
+                for i in range(kids.length()):
+                    stack.append(kids.apply(i))
+                if "Window" not in node.nodeName():
+                    continue
+                for i in range(kids.length()):
+                    out = kids.apply(i).output()
+                    names = {out.apply(j).name() for j in range(out.length())}
+                    if names & {"content", "text"}:
+                        bad.append(sorted(names))
+            return bad
+
+        small = corpus.limit(60)
+        clusters = run_dedup(spark, small, DedupConfig())
+        assert windows_with_content(clusters) == []
+        pairs = substring_pairs(key_docs(small), DedupConfig())
+        assert windows_with_content(pairs) == []
+
     def test_tpch_q5_broadcast_dims_and_pushdown(self, spark):
         """Six-table join: dims broadcast, region/date filters reach the
         scans (no filter evaluated post-join that a scan could absorb)."""
