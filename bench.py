@@ -45,9 +45,15 @@ def main() -> None:
     from dedup.queries import QUERIES
 
     # warm-up: spin up Python workers + codegen before timing (one-time
-    # per-JVM costs a long-running job amortizes; see BENCH/BASELINE.md)
+    # per-JVM costs a long-running job amortizes; see BENCH/BASELINE.md).
+    # substring_pairs is included because its first execution is dominated
+    # by numba-free numpy kernel JIT-ish warm-up (allocator, import,
+    # first-touch page faults): ~6s cold vs ~1.7s steady-state at sf0.1
+    # (VERDICT r4 #6) — the bench reports steady-state, the regime any
+    # long-running job actually runs in.
     QUERIES["doc_fingerprints"](spark, sf_dir).count()
     QUERIES["candidate_pairs"](spark, sf_dir).count()
+    QUERIES["substring_pairs"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -56,6 +62,13 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # host-load annotation (VERDICT r4 #3): this sandbox sees ±40%
+    # hypervisor-steal swings; recording 1/5/15-min load averages next to
+    # the walls lets a regression be attributed without a re-run
+    try:
+        load1, load5, load15 = os.getloadavg()
+    except OSError:
+        load1 = load5 = load15 = -1.0
     print(
         json.dumps(
             {
@@ -64,6 +77,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "host_load_avg": [round(load1, 2), round(load5, 2),
+                                  round(load15, 2)],
+                "cpus": int(cpus),
             }
         )
     )

@@ -86,7 +86,7 @@ n_files = df.count()
 
 def job():
     keyed = key_docs(df)
-    rep_docs, _ = exact_stage(keyed)
+    rep_docs, _ = exact_stage(keyed, need_pairs=False)
     sigs = compute_signatures(rep_docs, DedupConfig())
     bands = compute_bands(sigs, DedupConfig())
     pairs, _ = candidate_pairs(bands, DedupConfig())

@@ -65,8 +65,8 @@ def signature_input(rep_docs: DataFrame, cfg: DedupConfig,
     )
 
 
-def exact_stage(keyed: DataFrame,
-                sha_stored: bool = False) -> tuple[DataFrame, DataFrame]:
+def exact_stage(keyed: DataFrame, sha_stored: bool = False,
+                need_pairs: bool = True) -> tuple[DataFrame, DataFrame]:
     """→ (representatives, exact_pairs). Representative = min doc_key per
     content_sha.
 
@@ -100,21 +100,52 @@ def exact_stage(keyed: DataFrame,
     No Window over a content-carrying child anywhere (plan-tested): the
     previous `Window.partitionBy(content_sha)` fold pinned ALL copies of a
     hot sha (content included) into one unsplittable window partition.
+
+    `need_pairs=False` (callers that consume ONLY rep_docs and discard the
+    pairs frame — secondary signature-feeder queries and throughput
+    benches) keeps the r4 tagged-join shape instead: reps agg + join back
+    on content_sha, no materialization. That costs the second sha2 pass on
+    the join side, but A/B-measured at sf0.1 it is the faster single-
+    consumer plan (the materialize-once shape pays a lazy-localCheckpoint
+    compilation of the joined plan that a downstream `materialize(sigs)`
+    then re-pays — ~+1-3s fixed per query), and the skew discipline is
+    identical (map-side-combinable agg, AQE-splittable 2-column-key join).
+    The flagship need_pairs=True path keeps the single-hash materialized
+    shape, which is strictly better when both consumers run (bench:
+    near_dup_clusters 10.2s -> 8.5s).
     """
     keys = keyed.select("content_sha", "doc_key")
-    if not sha_stored:
-        # one content scan + one sha2 pass total; rows are 2 short strings
-        keys = materialize(keys, eager=False)
+    if sha_stored or need_pairs:
+        if not sha_stored:
+            # one content scan + one sha2 pass total; rows are 2 short
+            # strings, checkpointed (local or reliable) before fan-out
+            keys = materialize(keys, eager=False)
+        reps = keys.groupBy("content_sha").agg(
+            F.min("doc_key").alias("rep_key")
+        )
+        tagged = keys.join(reps, "content_sha")
+        pairs = (
+            tagged.where(F.col("doc_key") != F.col("rep_key"))
+            .select(F.col("rep_key").alias("key_a"),
+                    F.col("doc_key").alias("key_b"))
+        )
+        rep_side = reps.select(F.col("rep_key").alias("doc_key"),
+                               "content_sha")
+        rep_docs = (
+            keyed.drop("content_sha").join(rep_side, "doc_key")
+            .select(*keyed.columns)
+        )
+        return rep_docs, pairs
     reps = keys.groupBy("content_sha").agg(F.min("doc_key").alias("rep_key"))
-    tagged = keys.join(reps, "content_sha")
+    tagged = keyed.join(reps, "content_sha")
+    rep_docs = (
+        tagged.where(F.col("doc_key") == F.col("rep_key"))
+        .select(*keyed.columns)
+    )
     pairs = (
         tagged.where(F.col("doc_key") != F.col("rep_key"))
-        .select(F.col("rep_key").alias("key_a"), F.col("doc_key").alias("key_b"))
-    )
-    rep_side = reps.select(F.col("rep_key").alias("doc_key"), "content_sha")
-    rep_docs = (
-        keyed.drop("content_sha").join(rep_side, "doc_key")
-        .select(*keyed.columns)
+        .select(F.col("rep_key").alias("key_a"),
+                F.col("doc_key").alias("key_b"))
     )
     return rep_docs, pairs
 

@@ -816,7 +816,7 @@ def q_candidate_planted_recall(spark, sf_dir):
     collide by construction. SQL enumerates the planted ids."""
     corpus = _planted_near_corpus(spark, sf_dir)
     keyed = key_docs(corpus)
-    rep_docs, _ = exact_stage(keyed)
+    rep_docs, _ = exact_stage(keyed, need_pairs=False)
     rep_docs = signature_input(rep_docs, CFG)
     sigs = materialize(compute_signatures(rep_docs, CFG), eager=False)
     pairs, _ = candidate_pairs(compute_bands(sigs, CFG), CFG)
@@ -829,7 +829,7 @@ def q_verified_planted_recall(spark, sf_dir):
     signature verification at any threshold."""
     corpus = _planted_near_corpus(spark, sf_dir)
     keyed = key_docs(corpus)
-    rep_docs, _ = exact_stage(keyed)
+    rep_docs, _ = exact_stage(keyed, need_pairs=False)
     rep_docs = signature_input(rep_docs, CFG)
     sigs = materialize(compute_signatures(rep_docs, CFG), eager=False)
     pairs, _ = candidate_pairs(compute_bands(sigs, CFG), CFG)
@@ -842,7 +842,7 @@ def q_simhash_planted_recall(spark, sf_dir):
     0 — every planted pair must fall within the radius join."""
     corpus = _planted_near_corpus(spark, sf_dir)
     keyed = key_docs(corpus)
-    rep_docs, _ = exact_stage(keyed)
+    rep_docs, _ = exact_stage(keyed, need_pairs=False)
     rep_docs = signature_input(rep_docs, CFG)
     sigs = compute_signatures(rep_docs, CFG)
     return _planted_pair_ids(simhash_candidate_pairs(sigs, CFG), keyed)
@@ -881,7 +881,7 @@ def q_corpus_sketch_counts(spark, sf_dir):
 
     corpus = documents_as_corpus(spark, sf_dir)
     keyed = key_docs(corpus)
-    rep_docs, _ = exact_stage(keyed)
+    rep_docs, _ = exact_stage(keyed, need_pairs=False)
     rep_docs = signature_input(rep_docs, CFG)
     sigs = compute_signatures(rep_docs, CFG)
     langs = keyed.select("doc_key", "lang")
@@ -1190,7 +1190,7 @@ def q_dedup_audit(spark, sf_dir):
     from dedup.lsh import lsh_audit
 
     keyed = key_docs(documents_as_corpus(spark, sf_dir))
-    rep_docs, _ = exact_stage(keyed)
+    rep_docs, _ = exact_stage(keyed, need_pairs=False)
     rep_docs = signature_input(rep_docs, CFG)
     sigs = compute_signatures(rep_docs, CFG)
     return lsh_audit(compute_bands(sigs, CFG), CFG)
@@ -1199,7 +1199,7 @@ def q_dedup_audit(spark, sf_dir):
 def q_minhash_bands(spark, sf_dir):
     """LSH band table over the documents corpus (dedup stage 3)."""
     keyed = key_docs(documents_as_corpus(spark, sf_dir))
-    rep_docs, _ = exact_stage(keyed)
+    rep_docs, _ = exact_stage(keyed, need_pairs=False)
     rep_docs = signature_input(rep_docs, CFG)
     return compute_bands(compute_signatures(rep_docs, CFG), CFG)
 
@@ -1215,7 +1215,7 @@ def q_candidate_pairs(spark, sf_dir):
     consumes the bands twice; checkpointing the signatures keeps the
     shingle/MinHash kernel to one execution (run_dedup persists instead)."""
     keyed = key_docs(documents_as_corpus(spark, sf_dir))
-    rep_docs, _ = exact_stage(keyed)
+    rep_docs, _ = exact_stage(keyed, need_pairs=False)
     rep_docs = signature_input(rep_docs, CFG)
     sigs = materialize(compute_signatures(rep_docs, CFG), eager=False)
     pairs, _ = candidate_pairs(compute_bands(sigs, CFG), CFG)
@@ -1225,7 +1225,7 @@ def q_candidate_pairs(spark, sf_dir):
 def q_verified_pairs(spark, sf_dir):
     """Signature-verified near-dup pairs (dedup stage 4 output)."""
     keyed = key_docs(documents_as_corpus(spark, sf_dir))
-    rep_docs, _ = exact_stage(keyed)
+    rep_docs, _ = exact_stage(keyed, need_pairs=False)
     rep_docs = signature_input(rep_docs, CFG)
     sigs = materialize(compute_signatures(rep_docs, CFG), eager=False)
     pairs, _ = candidate_pairs(compute_bands(sigs, CFG), CFG)
@@ -1240,7 +1240,7 @@ def q_near_dup_clusters(spark, sf_dir):
 def q_simhash_pairs(spark, sf_dir):
     """SimHash Hamming-radius near-dup pairs (pigeonhole block join)."""
     keyed = key_docs(documents_as_corpus(spark, sf_dir))
-    rep_docs, _ = exact_stage(keyed)
+    rep_docs, _ = exact_stage(keyed, need_pairs=False)
     rep_docs = signature_input(rep_docs, CFG)
     sigs = compute_signatures(rep_docs, CFG)
     return simhash_candidate_pairs(sigs, CFG)
