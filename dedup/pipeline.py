@@ -339,7 +339,8 @@ def run_dedup(
         # (SURVEY §2.3-5), not silently dropped
         n_dropped = dropped.agg(
             F.coalesce(
-                F.sum(F.col("bucket_size") * (F.col("bucket_size") - 1) / 2),
+                # exact bigint pair-slot arithmetic, same as lsh_audit
+                F.sum(F.expr("bucket_size * (bucket_size - 1) DIV 2")),
                 F.lit(0),
             )
         ).collect()[0][0]

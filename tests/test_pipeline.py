@@ -183,3 +183,28 @@ class TestDegenerateInputs:
         rows = clusters.collect()
         assert len(rows) == 4
         assert len({r["cluster_id"] for r in rows}) == 1
+
+    def test_ingested_corpus_with_stored_sha_matches_raw(
+        self, spark, corpus, tmp_path
+    ):
+        """VERDICT r4 #1 production path: a corpus landed via
+        Warehouse.ingest_corpus carries a STORED content_sha; run_dedup
+        detects it, skips every sha2-over-content recompute (with_doc_key
+        reuses the column, the pruned fold scan reads 64 chars/row) and
+        must produce byte-identical clusters to the raw-corpus run."""
+        from dedup.warehouse import Warehouse
+
+        df, _, _ = corpus
+        want = {
+            r["doc_key"]: r["cluster_id"]
+            for r in run_dedup(spark, df, CFG).collect()
+        }
+        wh = Warehouse(spark, str(tmp_path / "wh_ingest"))
+        wh.ingest_corpus(df)
+        stored = wh.read("corpus")
+        assert "content_sha" in stored.columns
+        got = {
+            r["doc_key"]: r["cluster_id"]
+            for r in run_dedup(spark, stored, CFG).collect()
+        }
+        assert got == want
