@@ -136,9 +136,16 @@ def lang_distinct_kmv(
     per-salt k smallest, so the result is identical to the naive window;
     a lone 10^9-distinct group costs `salts` bounded tasks plus one
     64k-row sort instead of one 10^9-row sort. Content never shuffles.
+
+    NULL group values surface as '(null)': groupBy keeps a null group but
+    the count⋈sketch equi-join would silently drop it (SQL null != null),
+    so nulls are mapped to a sentinel before grouping — a real web corpus
+    has docs with no detected language and they must not vanish.
     """
     hashed = df.select(
-        F.col(group_col).alias("grp"), F.xxhash64(F.col(content_col)).alias("h")
+        F.coalesce(F.col(group_col).cast("string"), F.lit("(null)"))
+        .alias("grp"),
+        F.xxhash64(F.col(content_col)).alias("h"),
     )
     # two pruned scans, deliberately: deriving both outputs from one
     # per-(group, hash) aggregate LOOKS cheaper but Catalyst prunes the
@@ -189,8 +196,18 @@ def kmv_rollup(
     from functools import reduce
 
     dims = list(dims)
+    # NULL dim values become '(null)' BEFORE grouping: cube() would emit
+    # nulls both for a raw-null leaf and for an aggregated-out dimension
+    # (ambiguous without grouping-id), and the counts⋈sketch equi-join
+    # would drop raw-null leaf rows outright (SQL null != null). With the
+    # sentinel, every null in the cube output is a rollup marker and the
+    # '(all)' coalesce below is unambiguous.
     hashed = df.select(
-        *[F.col(d) for d in dims], F.xxhash64(F.col(content_col)).alias("h")
+        *[
+            F.coalesce(F.col(d).cast("string"), F.lit("(null)")).alias(d)
+            for d in dims
+        ],
+        F.xxhash64(F.col(content_col)).alias("h"),
     )
     counts = (
         hashed.cube(*dims)

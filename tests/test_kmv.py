@@ -205,3 +205,48 @@ class TestStreaming:
         for key, row in second.items():
             assert batch[key]["n_docs"] == row["n_rows"]
             assert batch[key]["est_distinct"] == row["est_distinct"]
+
+
+class TestNullGroups:
+    """NULL dimension values must survive as '(null)' groups: groupBy keeps
+    a null group, but the count⋈sketch equi-join inside both operators
+    would silently drop it (SQL null != null) — a real web corpus has docs
+    with no detected language and they must not vanish from the audit."""
+
+    def _null_corpus(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "lang": ["py", "py", None, None, "go", None],
+                "source": ["s1", None, "s1", None, "s1", "s1"],
+                "content": ["a", "a", "b", "c", "d", "b"],
+            }
+        )
+        return spark.createDataFrame(pdf), pdf
+
+    def test_lang_distinct_kmv_keeps_null_group(self, spark):
+        df, pdf = self._null_corpus(spark)
+        got = {
+            r["lang"]: r for r in lang_distinct_kmv(df, "lang", "content").collect()
+        }
+        assert set(got) == {"py", "go", "(null)"}
+        assert got["(null)"]["n_docs"] == 3
+        assert got["(null)"]["est_distinct"] == 2  # b, c (b repeated)
+        assert got["py"]["n_docs"] == 2 and got["py"]["est_distinct"] == 1
+
+    def test_rollup_keeps_null_leaves_and_unambiguous_all(self, spark):
+        from dedup.kmv import kmv_rollup
+
+        df, pdf = self._null_corpus(spark)
+        got = {
+            (r["lang"], r["source"]): (r["n_docs"], r["est_distinct"])
+            for r in kmv_rollup(df, ("lang", "source"), k=64).collect()
+        }
+        # raw-null leaf survives and is distinct from the rollup marker
+        assert got[("(null)", "s1")] == (2, 1)  # b twice
+        assert got[("(null)", "(all)")] == (3, 2)
+        assert got[("py", "(null)")] == (1, 1)
+        # grand total unaffected by null handling
+        assert got[("(all)", "(all)")] == (len(pdf), pdf["content"].nunique())
+        # every grouping-set row accounted for: no row silently dropped
+        langs = {"py", "go", "(null)", "(all)"}
+        assert {k[0] for k in got} == langs
