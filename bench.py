@@ -79,7 +79,10 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "host_load_avg": [round(load1, 2), round(load5, 2),
                                   round(load15, 2)],
-                "cpus": int(cpus),
+                # SPARK_GRAFT_CPUS may legitimately be "*" (local[*]);
+                # never let the annotation crash away a finished run
+                "cpus": int(cpus) if str(cpus).isdigit()
+                else (os.cpu_count() or -1),
             }
         )
     )

@@ -191,7 +191,13 @@ def kmv_rollup(
 
     Estimates are exact while each grouping set's distinct count < k (the
     driver-testdata regime for the default k), approximate-with-clamp
-    beyond (see kmv_estimate)."""
+    beyond (see kmv_estimate).
+
+    Known limitation: the string sentinels '(all)' / '(null)' are part of
+    the output contract (shared with corpus_cube) — a dim value LITERALLY
+    equal to a sentinel is indistinguishable from the marker and would
+    fan out the counts⋈sketch join. Callers with adversarial metadata
+    should escape such values upstream."""
     import itertools
     from functools import reduce
 

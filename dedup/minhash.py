@@ -62,7 +62,25 @@ def with_doc_key(df: DataFrame, key_cols: list[str], content_col: str = "content
     key = F.sha2(F.concat_ws("\x00", *[F.col(c) for c in key_cols]), 256)
     out = df.withColumn("doc_key", key)
     if "content_sha" in df.columns:
-        return out
+        # trusted but null-checked: a NULL stored sha would corrupt the fold
+        # SILENTLY (groupBy collapses all null-sha docs into one group, then
+        # the equi-join back drops their rows outright — SQL null != null),
+        # so nulls fail loudly per row, JVM-side. The check references only
+        # content_sha + doc_key, so the fold's pruned scan still never reads
+        # content. ingest_corpus can't produce nulls; external tables can.
+        return out.withColumn(
+            "content_sha",
+            F.when(F.col("content_sha").isNotNull(), F.col("content_sha"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("null content_sha in stored-sha corpus at "
+                              "doc_key="),
+                        F.col("doc_key"),
+                    )
+                )
+            ),
+        )
     return out.withColumn(
         "content_sha", F.sha2(F.coalesce(F.col(content_col), F.lit("")), 256)
     )

@@ -512,13 +512,16 @@ def q_lang_distinct_kmv(spark, sf_dir):
     return lang_distinct_kmv(documents_as_corpus(spark, sf_dir))
 
 
+# coalesce(lang, '(null)') mirrors the engine's sentinel for NULL group
+# values (dedup/kmv.py lang_distinct_kmv) — vacuous on the driver testdata
+# (no NULL langs) but keeps the oracle contract aligned with the operator
 SQL_LANG_DISTINCT_KMV = """
-SELECT lang,
+SELECT coalesce(lang, '(null)') AS lang,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(count(DISTINCT coalesce(text, '')) AS BIGINT) AS est_distinct,
        ROUND(1.0 - CAST(count(DISTINCT coalesce(text, '')) AS DOUBLE)
                    / count(*), 6) AS dup_rate
-FROM documents GROUP BY lang
+FROM documents GROUP BY coalesce(lang, '(null)')
 """
 
 
@@ -540,14 +543,23 @@ def q_dedup_rate_rollup(spark, sf_dir):
     return kmv_rollup(d, dims=("lang", "source"), k=8192)
 
 
+# raw NULL dims are sentineled to '(null)' BEFORE the cube (inner query),
+# matching the engine (dedup/kmv.py kmv_rollup): every NULL the CUBE emits
+# is then a rollup marker and the outer '(all)' coalesce is unambiguous.
+# Vacuous on the driver testdata (no NULL dims) but keeps the oracle
+# contract aligned with the operator's null semantics.
 SQL_DEDUP_RATE_ROLLUP = """
-SELECT coalesce(lang, '(all)') AS lang,
-       coalesce(source, '(all)') AS source,
+SELECT coalesce(l, '(all)') AS lang,
+       coalesce(s, '(all)') AS source,
        CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(count(DISTINCT coalesce(text, '')) AS BIGINT) AS est_distinct,
-       ROUND(1.0 - CAST(count(DISTINCT coalesce(text, '')) AS DOUBLE)
-                   / count(*), 6) AS dup_rate
-FROM documents GROUP BY CUBE(lang, source)
+       CAST(count(DISTINCT c) AS BIGINT) AS est_distinct,
+       ROUND(1.0 - CAST(count(DISTINCT c) AS DOUBLE) / count(*), 6)
+           AS dup_rate
+FROM (SELECT coalesce(lang, '(null)') AS l,
+             coalesce(source, '(null)') AS s,
+             coalesce(text, '') AS c
+      FROM documents)
+GROUP BY CUBE(l, s)
 """
 
 

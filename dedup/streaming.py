@@ -147,11 +147,32 @@ def ingest_stream(
         # their verbatim copies across batches are still exact dups exactly
         # as the batch pipeline sees them.
         if wh.exists(SHA_REP_TABLE):
-            prior = (
+            prior_reps = (
                 wh.read(SHA_REP_TABLE)
                 .where(F.col("config_hash") == cfg.config_hash())
-                .groupBy("content_sha")
-                .agg(F.min("doc_key").alias("prior_key"))
+                .select("content_sha", "doc_key")
+            )
+        elif wh.exists("checkpoint_signatures"):
+            # legacy warehouse built before the sha-rep table existed: fall
+            # back to the signature checkpoint as the fold source (the
+            # pre-upgrade behavior — it misses sub-min_content_len docs,
+            # which the sha-rep appends cover from this batch onward), so
+            # verbatim copies of already-ingested docs still fold instead of
+            # being silently re-signed
+            from dedup.pipeline import SIG_STAGE, decode_signature_blocks
+
+            prior_reps = decode_signature_blocks(
+                wh.read("checkpoint_signatures").where(
+                    (F.col("stage") == SIG_STAGE)
+                    & (F.col("config_hash") == cfg.config_hash())
+                ),
+                cfg,
+            ).select("content_sha", "doc_key")
+        else:
+            prior_reps = None
+        if prior_reps is not None:
+            prior = prior_reps.groupBy("content_sha").agg(
+                F.min("doc_key").alias("prior_key")
             )
             hit = rep_docs.join(prior, "content_sha")
             # canonical orientation key_a < key_b (ADVICE r2): a new doc_key
@@ -262,9 +283,15 @@ LABEL_COMPACT_EVERY = 16
 
 def _reconciled_labels(stored: DataFrame) -> DataFrame:
     """Merge-on-read view of the label delta log: latest generation wins
-    per doc_key. Pre-delta-log tables (no `ver` column) read as gen 0."""
+    per doc_key. Pre-delta-log tables (no `ver` column) read as gen 0 —
+    and so do ROWS with a null ver inside a mixed-schema table (a legacy
+    no-ver table that later generations were appended onto: parquet schema
+    merge surfaces the legacy rows with ver=NULL, and max_by skips rows
+    whose ordering key is null, which would silently reconcile every
+    untouched legacy doc to a NULL cluster_id)."""
     if "ver" not in stored.columns:
         stored = stored.withColumn("ver", F.lit(0))
+    stored = stored.withColumn("ver", F.coalesce(F.col("ver"), F.lit(0)))
     return (
         stored.groupBy("doc_key")
         .agg(F.max_by("cluster_id", "ver").alias("cluster_id"))
@@ -364,10 +391,26 @@ def stream_clusters(spark: SparkSession, wh: Warehouse, cfg: DedupConfig
     gen = 0
     if have_prior:
         stored = wh.read(LABEL_TABLE)
-        if "ver" in stored.columns:
-            gen = int(
-                stored.agg(F.coalesce(F.max("ver"), F.lit(0))).collect()[0][0]
+        if "ver" not in stored.columns:
+            # one-time migration of a pre-delta-log table: appending
+            # ver-stamped deltas onto it would create a MIXED-schema
+            # parquet dir — legacy rows then surface ver=NULL under schema
+            # merge (max_by would reconcile them to NULL cluster_ids), or
+            # the ver column vanishes entirely depending on which footer
+            # the reader samples. Rewrite once as generation 0 instead;
+            # eager materialize first because overwrite deletes the files
+            # the lazy plan reads.
+            migrated = materialize(
+                stored.select("doc_key", "cluster_id").withColumn(
+                    "ver", F.lit(0)
+                ),
+                eager=True,
             )
+            wh.write(migrated, LABEL_TABLE, cfg_hash)
+            stored = wh.read(LABEL_TABLE)
+        gen = int(
+            stored.agg(F.coalesce(F.max("ver"), F.lit(0))).collect()[0][0]
+        )
         prior = _reconciled_labels(stored)
         quotient = _effective_edges(edges, prior)
         comp = connected_components(quotient)

@@ -208,3 +208,24 @@ class TestDegenerateInputs:
             for r in run_dedup(spark, stored, CFG).collect()
         }
         assert got == want
+
+    def test_null_stored_content_sha_fails_loudly(self, spark):
+        """A stored content_sha column is trusted — but a NULL in it would
+        corrupt the fold silently (all null-sha docs collapse into one
+        group, then the join back drops their rows). It must raise, by
+        name, on first touch."""
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "repo": ["r", "r"],
+                    "path": ["a", "b"],
+                    "commit": ["c", "c"],
+                    "lang": ["py", "py"],
+                    "content": ["x", "y"],
+                    "content_sha": ["0" * 64, None],
+                }
+            )
+        )
+        keyed = key_docs(df)
+        with pytest.raises(Exception, match="null content_sha"):
+            exact_stage(keyed, sha_stored=True)[0].count()

@@ -439,3 +439,95 @@ class TestStreamingIngest:
             f"closed window must flush all {len(pdf)} first-batch rows, "
             f"got {emitted}"
         )
+
+
+class TestUpgradePaths:
+    """Warehouses written by earlier releases must keep working: no silent
+    label corruption, no silently-skipped cross-batch folds."""
+
+    def test_legacy_label_table_migrated_not_mixed_schema(
+        self, spark, tmp_path
+    ):
+        """A pre-delta-log label table (no `ver` column) must be migrated
+        to generation 0 BEFORE deltas are appended: a mixed-schema parquet
+        dir surfaces legacy rows with ver=NULL (max_by would reconcile
+        untouched docs to NULL cluster_ids) or drops the ver column
+        entirely, depending on which footer the reader samples."""
+        from dedup.pipeline import run_dedup
+        from dedup.streaming import LABEL_TABLE, stream_clusters
+
+        pdf1, _ = make_corpus(n_base=30, seed=31)
+        pdf2, _ = make_corpus(n_base=6, seed=888)
+        pdf2 = pdf2.copy()
+        pdf2["path"] = "up/" + pdf2["path"]
+        in_dir = str(tmp_path / "in_up")
+        os.makedirs(in_dir)
+        wh = Warehouse(spark, str(tmp_path / "wh_up"))
+        ckpt = str(tmp_path / "ck_up")
+
+        spark.createDataFrame(pdf1).coalesce(1).write.mode("append").parquet(in_dir)
+        ingest_stream(spark, in_dir, wh, CFG, ckpt)
+        stream_clusters(spark, wh, CFG)
+        # simulate the previous release's table: same labels, no ver column
+        legacy = wh.read(LABEL_TABLE).select("doc_key", "cluster_id")
+        legacy = legacy.toPandas()
+        wh.write(
+            spark.createDataFrame(legacy), LABEL_TABLE, CFG.config_hash()
+        )
+        assert "ver" not in wh.read(LABEL_TABLE).columns
+
+        spark.createDataFrame(pdf2).coalesce(1).write.mode("append").parquet(in_dir)
+        ingest_stream(spark, in_dir, wh, CFG, ckpt)
+        labels = stream_clusters(spark, wh, CFG)
+
+        got = {r["doc_key"]: r["cluster_id"] for r in labels.collect()}
+        assert None not in got.values(), "NULL cluster_id leaked from legacy rows"
+        full = pd.concat([pdf1, pdf2], ignore_index=True)
+        want = {
+            r["doc_key"]: r["cluster_id"]
+            for r in run_dedup(spark, spark.createDataFrame(full), CFG).collect()
+        }
+        assert got == want
+        # the stored table is now uniformly ver-stamped (no mixed schema)
+        stored = wh.read(LABEL_TABLE)
+        assert "ver" in stored.columns
+        assert stored.where(F.col("ver").isNull()).count() == 0
+
+    def test_legacy_warehouse_without_sha_rep_table_still_folds(
+        self, spark, tmp_path
+    ):
+        """A warehouse built before stream_sha_reps existed must fall back
+        to the signature checkpoint as the cross-batch fold source: a
+        verbatim copy of an already-ingested doc still emits an exact pair
+        and is not re-signed."""
+        from dedup.streaming import SHA_REP_TABLE, read_stream_exact_pairs
+
+        pdf, _ = make_corpus(n_base=20, seed=61)
+        in_dir = str(tmp_path / "in_leg")
+        os.makedirs(in_dir)
+        wh = Warehouse(spark, str(tmp_path / "wh_leg"))
+        ckpt = str(tmp_path / "ck_leg")
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(in_dir)
+        ingest_stream(spark, in_dir, wh, CFG, ckpt)
+        # simulate the previous release: fold table never existed
+        wh.drop(SHA_REP_TABLE)
+        n_pairs_before = read_stream_exact_pairs(wh).count()
+
+        # batch 2: one verbatim copy of a batch-1 doc under a new path
+        copy = pdf.iloc[[0]].copy()
+        copy["path"] = "copy/" + copy["path"]
+        spark.createDataFrame(copy).coalesce(1).write.mode("append").parquet(in_dir)
+        ingest_stream(spark, in_dir, wh, CFG, ckpt)
+
+        pairs = read_stream_exact_pairs(wh)
+        assert pairs.count() == n_pairs_before + 1, (
+            "cross-batch verbatim copy did not fold on a legacy warehouse"
+        )
+        # the fold pairs the copy against the sha group's REPRESENTATIVE
+        # (min doc_key over batch-1 docs with this content), which need not
+        # be doc 0 itself — assert the copy participates in exactly one
+        # new pair
+        copy_key = key_docs(spark.createDataFrame(copy)).collect()[0]["doc_key"]
+        assert pairs.where(
+            (F.col("key_a") == copy_key) | (F.col("key_b") == copy_key)
+        ).count() == 1
