@@ -531,3 +531,43 @@ class TestUpgradePaths:
         assert pairs.where(
             (F.col("key_a") == copy_key) | (F.col("key_b") == copy_key)
         ).count() == 1
+
+    def test_label_log_compacts_periodically(self, spark, tmp_path, monkeypatch):
+        """Every LABEL_COMPACT_EVERY calls the delta log folds back into a
+        single generation-0 overwrite, bounding read-side reconciliation
+        work; labels still match a batch run afterwards."""
+        import dedup.streaming as streaming
+        from dedup.pipeline import run_dedup
+        from dedup.streaming import LABEL_TABLE, stream_clusters
+
+        monkeypatch.setattr(streaming, "LABEL_COMPACT_EVERY", 2)
+        in_dir = str(tmp_path / "in_cmp")
+        os.makedirs(in_dir)
+        wh = Warehouse(spark, str(tmp_path / "wh_cmp"))
+        ckpt = str(tmp_path / "ck_cmp")
+
+        frames = []
+        for i, seed in enumerate((41, 42, 43)):
+            pdf, _ = make_corpus(n_base=10, seed=seed)
+            pdf = pdf.copy()
+            pdf["path"] = f"b{i}/" + pdf["path"]
+            frames.append(pdf)
+            spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(
+                in_dir
+            )
+            ingest_stream(spark, in_dir, wh, CFG, ckpt)
+            labels = stream_clusters(spark, wh, CFG)
+
+        # call 1 wrote gen 0, call 2 appended gen 1, call 3 compacted
+        stored = wh.read(LABEL_TABLE)
+        assert stored.agg(F.max("ver")).collect()[0][0] == 0
+        n_docs = stored.select("doc_key").distinct().count()
+        assert stored.count() == n_docs, "compaction left duplicate doc rows"
+
+        full = pd.concat(frames, ignore_index=True)
+        got = {r["doc_key"]: r["cluster_id"] for r in labels.collect()}
+        want = {
+            r["doc_key"]: r["cluster_id"]
+            for r in run_dedup(spark, spark.createDataFrame(full), CFG).collect()
+        }
+        assert got == want
