@@ -55,11 +55,25 @@ def main() -> None:
     QUERIES["candidate_pairs"](spark, sf_dir).count()
     QUERIES["substring_pairs"](spark, sf_dir).count()
 
+    # min-of-2 per query: the sandbox VM shows hypervisor-steal bursts of
+    # 5-17% of all CPU in 10s windows (measured via /proc/stat during a
+    # bench run, round 5), and at sf0.1 every wall is latency-bound —
+    # dominated by stage barriers that wait on the slowest task, exactly
+    # what a steal burst hits. One steal burst can triple a single wall
+    # (near_dup_clusters measured 9.2s..74s across a noisy afternoon, same
+    # code). min-of-2 is the standard noisy-host steady-state estimator
+    # (same protocol as BENCH/BASELINE.md's min-of-4, scaled down to keep
+    # the per-round bench under ~5 min); both attempts are reported so a
+    # residual outlier is visible.
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+    attempts: dict[str, list[float]] = {}
+    for rep in range(2):
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).count()
+            wall = round(time.time() - t0, 3)
+            attempts.setdefault(name, []).append(wall)
+            timings[name] = min(timings.get(name, wall), wall)
 
     total = round(sum(timings.values()), 3)
     # host-load annotation (VERDICT r4 #3): this sandbox sees ±40%
@@ -76,6 +90,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "protocol": "min-of-2 per query after warm-up",
+                "attempts": attempts,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "host_load_avg": [round(load1, 2), round(load5, 2),
                                   round(load15, 2)],
