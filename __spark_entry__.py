@@ -11,7 +11,9 @@ text quality/language/token ops, shingle counts, exact n-gram Jaccard,
 embedding kNN, KMV distinct audit, relational agg/multi-way-join/window
 layers) plus the invariant oracles that pin the kernel pipelines from the SQL side
 (planted-copy cluster containment, canonical min-member labels,
-substring share-64 exact pair parity, exhaustive-probe IVF == brute
+substring share-64 exact pair parity, union-find components vs a
+recursive-CTE reachability recompute over the exact-Jaccard pair set,
+exhaustive-probe IVF == brute
 force, the FrequentDirections Frobenius and projection-norm
 identities, planted-recall checks for the LSH candidate / verify /
 SimHash / vector-LSH / perceptual-asset stages, band-table row parity

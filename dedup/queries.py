@@ -262,6 +262,83 @@ WHERE a.doc_id % 2 = 0 AND a.doc_id < 200
 """
 
 
+# all-pairs Jaccard threshold for q_jaccard_clusters: at 0.25 the driver
+# corpus yields one ~200-doc chain-connected template component plus
+# several small ones (measured at sf0.01), so the oracle genuinely pins
+# multi-hop transitivity, not just pair mirroring
+_JACCARD_CLUSTER_THRESHOLD = 0.25
+
+
+def q_jaccard_clusters(spark, sf_dir):
+    """END-TO-END ORACLE for the distributed union-find
+    (dedup/cluster.connected_components — star contraction with the
+    byte-budgeted driver cutover): cluster docs whose exact character-5-gram
+    Jaccard >= 0.25 (all pairs among doc_id < 300) and label every member
+    with the component-minimum doc_id. The pair set is SQL-expressible (same
+    machinery as the hash-green ngram_jaccard_pairs) and DuckDB recomputes
+    the components independently via a recursive reachability CTE — so the
+    clustering operator itself, previously pinned only by the numpy oracle
+    in pytest, gets a driver-gate value-hash check including multi-hop
+    chains (a ~200-doc path-connected component at sf0.01) and singleton
+    attachment. The threshold compares the ROUNDED value in both engines so
+    the predicate is bit-identical."""
+    from dedup.cluster import attach_singletons, connected_components
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 300).select(
+        "doc_id",
+        F.expr(_SPARK_CHARGRAM.format(c="coalesce(text, '')")).alias("sh"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("key_a"),
+            F.col("b.doc_id").alias("key_b"),
+            F.round(
+                F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+                / F.size(F.array_union("a.sh", "b.sh")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= _JACCARD_CLUSTER_THRESHOLD)
+    )
+    comps = connected_components(pairs)
+    labeled = attach_singletons(
+        comps, d.select(F.col("doc_id").alias("doc_key"))
+    )
+    return labeled.select(
+        F.col("doc_key").cast("bigint").alias("doc_id"),
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+    )
+
+
+SQL_JACCARD_CLUSTERS = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, {_DUCK_CHARGRAM.format(c="coalesce(text, '')")} AS s
+  FROM documents WHERE doc_id < 300
+),
+pairs AS (
+  SELECT a.doc_id AS ka, b.doc_id AS kb
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+              / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6)
+        >= {_JACCARD_CLUSTER_THRESHOLD}
+),
+edges AS (
+  SELECT ka AS src, kb AS dst FROM pairs
+  UNION
+  SELECT kb AS src, ka AS dst FROM pairs
+),
+reach(a, b) AS (
+  SELECT doc_id, doc_id FROM sh
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+)
+SELECT CAST(a AS BIGINT) AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id
+FROM reach GROUP BY a
+"""
+
+
 def q_embedding_knn(spark, sf_dir):
     """Exact cosine top-5 neighbors for query vectors (vec_id < 10) among
     the rest — brute-force similarity-search baseline."""
@@ -1367,6 +1444,7 @@ QUERIES = {
     "token_shingles": q_token_shingles,
     "kernel_shingle_parity": q_kernel_shingle_parity,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "jaccard_clusters": q_jaccard_clusters,
     "embedding_knn": q_embedding_knn,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "tpch_q1": q_tpch_q1,
@@ -1428,6 +1506,7 @@ ORACLES = {
     "token_shingles": SQL_TOKEN_SHINGLES,
     "kernel_shingle_parity": SQL_KERNEL_SHINGLE_PARITY,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
+    "jaccard_clusters": SQL_JACCARD_CLUSTERS,
     "embedding_knn": SQL_EMBEDDING_KNN,
     "embedding_cosine_pairs": SQL_EMBEDDING_COSINE_PAIRS,
     "tpch_q1": SQL_TPCH_Q1,
