@@ -229,3 +229,54 @@ class TestDegenerateInputs:
         keyed = key_docs(df)
         with pytest.raises(Exception, match="null content_sha"):
             exact_stage(keyed, sha_stored=True)[0].count()
+
+
+class TestJaccardClusters:
+    def test_jaccard_clusters_match_numpy_union_find(self, spark):
+        """q_jaccard_clusters (the driver-gate end-to-end oracle for the
+        distributed union-find) must equal a single-node union-find over
+        the same thresholded exact-Jaccard pair set, including singleton
+        self-labels."""
+        from dedup.cluster import numpy_connected_components
+        from dedup.queries import (
+            _JACCARD_CLUSTER_THRESHOLD,
+            _SPARK_CHARGRAM,
+            q_jaccard_clusters,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = {
+            r["doc_id"]: r["cluster_id"]
+            for r in q_jaccard_clusters(spark, sf).collect()
+        }
+
+        d = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .where(F.col("doc_id") < 300)
+            .select(
+                "doc_id",
+                F.expr(
+                    _SPARK_CHARGRAM.format(c="coalesce(text, '')")
+                ).alias("sh"),
+            )
+        )
+        a, b = d.alias("a"), d.alias("b")
+        pairs = (
+            a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("ka"),
+                F.col("b.doc_id").alias("kb"),
+                F.round(
+                    F.size(F.array_intersect("a.sh", "b.sh")).cast("double")
+                    / F.size(F.array_union("a.sh", "b.sh")).cast("double"),
+                    6,
+                ).alias("j"),
+            )
+            .where(F.col("j") >= _JACCARD_CLUSTER_THRESHOLD)
+            .collect()
+        )
+        assert pairs, "threshold should keep at least one pair at sf0.001"
+        labels = numpy_connected_components([(r["ka"], r["kb"]) for r in pairs])
+        all_ids = [r["doc_id"] for r in d.select("doc_id").collect()]
+        want = {i: labels.get(i, i) for i in all_ids}
+        assert got == want
