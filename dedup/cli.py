@@ -36,6 +36,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--master", default=None)
     ap.add_argument("--stream", action="store_true",
                     help="incremental Structured Streaming ingest (AvailableNow)")
+    ap.add_argument("--write-cleaned", action="store_true",
+                    help="also write `corpus_cleaned` — one representative "
+                    "document per near-dup cluster (the deduplicated corpus "
+                    "a downstream trainer consumes)")
     ap.add_argument("--stream-checkpoint", default=None,
                     help="streaming checkpoint dir (default: <output>/_stream_ckpt)")
     ap.add_argument("--checkpoint-dir", default=None,
@@ -75,6 +79,15 @@ def main(argv: list[str] | None = None) -> int:
     else:
         df = spark.read.parquet(args.input)
         clusters = run_dedup(spark, df, cfg, warehouse=wh)
+    if args.write_cleaned:
+        from dedup.pipeline import cleaned_corpus, key_docs
+
+        if args.stream:
+            # stream mode does not retain corpus rows in the warehouse;
+            # re-read the (accumulated) input dir for the output pass
+            df = spark.read.parquet(args.input)
+        wh.write(cleaned_corpus(key_docs(df), wh.read("clusters")),
+                 "corpus_cleaned", cfg.config_hash())
     n = clusters.count()
     n_clusters = clusters.select("cluster_id").distinct().count()
     print(f"docs={n} clusters={n_clusters} warehouse={args.output}")

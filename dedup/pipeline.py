@@ -150,6 +150,28 @@ def exact_stage(keyed: DataFrame, sha_stored: bool = False,
     return rep_docs, pairs
 
 
+def cleaned_corpus(keyed: DataFrame, clusters: DataFrame) -> DataFrame:
+    """One representative document per near-duplicate cluster — the
+    training-data pipeline's OUTPUT stage (the deduplicated corpus a
+    downstream trainer actually consumes).
+
+    Because the canonical cluster label IS the minimum member doc_key
+    (cluster.py, SURVEY §2.3-1), representative selection needs no
+    aggregation at all: a row is its cluster's representative iff
+    doc_key == cluster_id, so the selection is a FILTER over the narrow
+    label table followed by ONE semi-join on doc_key — which is unique per
+    row (ingest invariant), so the join is skew-free by construction and
+    AQE-splittable, and content crosses the wire exactly once. At
+    10^12-file scale this is the cheapest possible shape: no groupBy over
+    cluster_id (whose giant boilerplate clusters would be hot keys), no
+    window, no second pass over content.
+    """
+    reps = clusters.where(F.col("doc_key") == F.col("cluster_id")).select(
+        "doc_key"
+    )
+    return keyed.join(reps, "doc_key", "left_semi")
+
+
 # ---------------------------------------------------------------------------
 # signature checkpoint: per-partition SignatureBlock sketch rows
 # ---------------------------------------------------------------------------

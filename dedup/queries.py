@@ -339,6 +339,42 @@ FROM reach GROUP BY a
 """
 
 
+def q_jaccard_cleaned_docs(spark, sf_dir):
+    """ORACLE for the pipeline OUTPUT stage (pipeline.cleaned_corpus): the
+    deduplicated corpus keeps exactly the component-minimum representative
+    of every Jaccard cluster (same pair set as jaccard_clusters). Exercises
+    the filter-on-canonical-label + unique-key semi-join shape end-to-end:
+    the returned rows are real corpus rows re-attached through
+    cleaned_corpus, not just label-table ids."""
+    from dedup.pipeline import cleaned_corpus
+
+    labeled = q_jaccard_clusters(spark, sf_dir)
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 300).select(
+        F.col("doc_id").alias("doc_key"), "lang"
+    )
+    kept = cleaned_corpus(
+        docs,
+        labeled.select(
+            F.col("doc_id").alias("doc_key"), "cluster_id"
+        ),
+    )
+    return kept.select(
+        F.col("doc_key").cast("bigint").alias("doc_id"), "lang"
+    )
+
+
+SQL_JACCARD_CLEANED_DOCS = (
+    SQL_JACCARD_CLUSTERS.rstrip()
+    .replace(
+        "SELECT CAST(a AS BIGINT) AS doc_id, CAST(min(b) AS BIGINT) AS cluster_id\n"
+        "FROM reach GROUP BY a",
+        "SELECT CAST(r.a AS BIGINT) AS doc_id, any_value(d.lang) AS lang\n"
+        "FROM reach r JOIN documents d ON d.doc_id = r.a\n"
+        "GROUP BY r.a HAVING r.a = min(r.b)",
+    )
+)
+
+
 def q_embedding_knn(spark, sf_dir):
     """Exact cosine top-5 neighbors for query vectors (vec_id < 10) among
     the rest — brute-force similarity-search baseline."""
@@ -1445,6 +1481,7 @@ QUERIES = {
     "kernel_shingle_parity": q_kernel_shingle_parity,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "jaccard_clusters": q_jaccard_clusters,
+    "jaccard_cleaned_docs": q_jaccard_cleaned_docs,
     "embedding_knn": q_embedding_knn,
     "embedding_cosine_pairs": q_embedding_cosine_pairs,
     "tpch_q1": q_tpch_q1,
@@ -1507,6 +1544,7 @@ ORACLES = {
     "kernel_shingle_parity": SQL_KERNEL_SHINGLE_PARITY,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD_PAIRS,
     "jaccard_clusters": SQL_JACCARD_CLUSTERS,
+    "jaccard_cleaned_docs": SQL_JACCARD_CLEANED_DOCS,
     "embedding_knn": SQL_EMBEDDING_KNN,
     "embedding_cosine_pairs": SQL_EMBEDDING_COSINE_PAIRS,
     "tpch_q1": SQL_TPCH_Q1,

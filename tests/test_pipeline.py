@@ -280,3 +280,56 @@ class TestJaccardClusters:
         all_ids = [r["doc_id"] for r in d.select("doc_id").collect()]
         want = {i: labels.get(i, i) for i in all_ids}
         assert got == want
+
+
+class TestCleanedCorpus:
+    def test_one_representative_per_cluster_and_it_is_the_min(
+        self, spark, corpus
+    ):
+        """The output stage keeps exactly one doc per near-dup cluster —
+        the canonical (minimum doc_key) member — and nothing else."""
+        from dedup.pipeline import cleaned_corpus
+
+        df, pdf, truth = corpus
+        keyed = key_docs(df)
+        clusters = run_dedup(spark, df, CFG)
+        kept = cleaned_corpus(keyed, clusters)
+
+        kept_keys = {r["doc_key"] for r in kept.select("doc_key").collect()}
+        lab = {
+            r["doc_key"]: r["cluster_id"] for r in clusters.collect()
+        }
+        want = {min(k for k, c in lab.items() if c == cid)
+                for cid in set(lab.values())}
+        assert kept_keys == want
+        # canonical label == min member, so reps are exactly the labels
+        assert kept_keys == set(lab.values())
+        # kept rows are real corpus rows (all original columns survive)
+        assert set(kept.columns) == set(keyed.columns)
+
+    def test_cli_write_cleaned_flag(self, spark, corpus, tmp_path,
+                                    monkeypatch):
+        """--write-cleaned lands `corpus_cleaned` in the warehouse with one
+        row per cluster (in-process; spark-submit wiring is covered by
+        test_submit). cli.main's final spark.stop() would kill the shared
+        session-scoped SparkContext, so it is neutered for the in-process
+        call."""
+        from pyspark.sql import SparkSession
+
+        from dedup.cli import main
+        from dedup.warehouse import Warehouse
+
+        monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+        df, _, _ = corpus
+        inp = str(tmp_path / "corpus_in")
+        df.write.parquet(inp)
+        out = str(tmp_path / "wh")
+        rc = main([
+            "--input", inp, "--output", out, "--write-cleaned",
+            "--master", "local[4]",
+        ])
+        assert rc == 0
+        wh = Warehouse(spark, out)
+        cleaned = wh.read("corpus_cleaned")
+        clusters = wh.read("clusters")
+        assert cleaned.count() == clusters.select("cluster_id").distinct().count()
