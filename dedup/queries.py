@@ -782,6 +782,64 @@ FROM dw a JOIN dw b ON a.win = b.win AND a.doc_id < b.doc_id
 """
 
 
+def q_doc_containment(spark, sf_dir):
+    """Full-document containment — sub-document dedup, the directed
+    refinement of the substring pass: doc A is CONTAINED in doc B iff
+    their exact longest common substring covers all of A, i.e.
+    lcs_len == octet_length(A). Runs the suffix-array pass at
+    substring_min_len = GRAM = 64 (p = 1: exhaustive fingerprints, so the
+    candidate set provably covers every containment of >= 64 bytes —
+    the same regime the substring_share64 oracle pins) and keeps the
+    pairs whose shared block IS the shorter side, emitting
+    (id_contained, id_container); verbatim-equal docs contain each other
+    and emit both directions. ORACLE: DuckDB recomputes containment
+    directly with contains() over all doc pairs — a completely
+    independent primitive from the SA/LCP kernels."""
+    from dedup.suffix import substring_pairs
+
+    keyed = key_docs(documents_as_corpus(spark, sf_dir))
+    cfg = DedupConfig(substring_min_len=64)
+    pairs = substring_pairs(keyed, cfg)
+    ids = keyed.select(
+        "doc_key",
+        F.regexp_extract("path", r"doc/(\d+)", 1).cast("bigint")
+        .alias("doc_id"),
+        # BYTES, not chars: lcs_len is measured over the utf-8-encoded
+        # content (suffix.py cuts binary windows)
+        F.octet_length(F.coalesce(F.col("content"), F.lit("")))
+        .alias("blen"),
+    )
+    p = (
+        pairs.join(
+            ids.select(F.col("doc_key").alias("key_a"),
+                       F.col("doc_id").alias("ida"),
+                       F.col("blen").alias("la")),
+            "key_a",
+        )
+        .join(
+            ids.select(F.col("doc_key").alias("key_b"),
+                       F.col("doc_id").alias("idb"),
+                       F.col("blen").alias("lb")),
+            "key_b",
+        )
+    )
+    a_in_b = p.where(F.col("lcs_len") == F.col("la")).select(
+        F.col("ida").alias("id_contained"), F.col("idb").alias("id_container")
+    )
+    b_in_a = p.where(F.col("lcs_len") == F.col("lb")).select(
+        F.col("idb").alias("id_contained"), F.col("ida").alias("id_container")
+    )
+    return a_in_b.unionByName(b_in_a).distinct()
+
+
+SQL_DOC_CONTAINMENT = """
+SELECT DISTINCT a.doc_id AS id_contained, b.doc_id AS id_container
+FROM documents a JOIN documents b ON a.doc_id <> b.doc_id
+WHERE strlen(coalesce(a.text, '')) >= 64
+  AND contains(coalesce(b.text, ''), coalesce(a.text, ''))
+"""
+
+
 def q_embedding_ann_ivf_exhaustive(spark, sf_dir):
     """ORACLE for the IVF machinery: probing every cell (nprobe =
     n_centroids) degenerates to exact search, so the full IVF path —
@@ -1511,6 +1569,7 @@ QUERIES = {
     "cluster_sha_containment": q_cluster_sha_containment,
     "cluster_canonical_labels": q_cluster_canonical_labels,
     "substring_share64": q_substring_share64,
+    "doc_containment": q_doc_containment,
     "embedding_ann_ivf_exhaustive": q_embedding_ann_ivf_exhaustive,
     "corpus_cube": q_corpus_cube,
     # FrequentDirections surface
@@ -1559,6 +1618,7 @@ ORACLES = {
     "cluster_sha_containment": SQL_CLUSTER_SHA_CONTAINMENT,
     "cluster_canonical_labels": SQL_CLUSTER_CANONICAL_LABELS,
     "substring_share64": SQL_SUBSTRING_SHARE64,
+    "doc_containment": SQL_DOC_CONTAINMENT,
     "embedding_ann_ivf_exhaustive": SQL_EMBEDDING_ANN_IVF_EXHAUSTIVE,
     "corpus_cube": SQL_CORPUS_CUBE,
     "fd_frobenius": SQL_FD_FROBENIUS,
