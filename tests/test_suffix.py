@@ -261,12 +261,26 @@ class TestDiagonalExtension:
         b = a.copy()
         b[500_000:500_006] = ord("X")  # two edits -> 1 MiB shared middle
         b[1_500_000:1_500_006] = ord("Y")
+        # host-speed yardstick measured IN THIS PROCESS, so hypervisor
+        # steal inflates yardstick and kernel alike and the RATIO stays
+        # meaningful (an absolute 5s bound flaked under measured 5-17%
+        # steal bursts): two O(n) prefix-hash passes.
+        t0 = time.time()
+        pa, pb = _prefix_hashes(a), _prefix_hashes(b)
+        t_hash = time.time() - t0
         t0 = time.time()
         # anchor inside the shared middle block, as sampling guarantees
         best = _diag_extend(a, 700_000, b, 700_000)
-        pa, pb = _prefix_hashes(a), _prefix_hashes(b)
         refuted = _lcb_pre(a, pa, b, pb, best + 1)
         wall = time.time() - t0
         assert best == 999_994
         assert refuted == 0  # nothing longer exists -> single-probe refutation
-        assert wall < 5.0, f"verify kernel took {wall:.1f}s - gallop regression?"
+        # diag-extend + one refutation is a small constant number of O(n)
+        # passes (~1-2x the yardstick); the old gallop-only regime cost
+        # ~2*log2(lcs) O(n) probes (~10-20x). 6x flags the regression with
+        # wide noise headroom; the absolute floor keeps micro-walls from
+        # tripping the ratio on scheduler jitter.
+        assert wall < max(1.0, 6.0 * t_hash), (
+            f"verify kernel took {wall:.2f}s vs {t_hash:.2f}s hash yardstick "
+            "- gallop regression?"
+        )
