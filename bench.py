@@ -44,16 +44,14 @@ def main() -> None:
 
     from dedup.queries import QUERIES
 
-    # warm-up: spin up Python workers + codegen before timing (one-time
-    # per-JVM costs a long-running job amortizes; see BENCH/BASELINE.md).
-    # substring_pairs is included because its first execution is dominated
-    # by numba-free numpy kernel JIT-ish warm-up (allocator, import,
-    # first-touch page faults): ~6s cold vs ~1.7s steady-state at sf0.1
-    # (VERDICT r4 #6) — the bench reports steady-state, the regime any
-    # long-running job actually runs in.
-    QUERIES["doc_fingerprints"](spark, sf_dir).count()
-    QUERIES["candidate_pairs"](spark, sf_dir).count()
-    QUERIES["substring_pairs"](spark, sf_dir).count()
+    # warm-up: one untimed execution of EVERY benched query (VERDICT r5 #4 /
+    # ADVICE r5) — per-query one-time costs (Python-worker spin-up, codegen,
+    # kernel allocator/page-fault warm-up, shuffle-file reuse, IO cache) land
+    # here instead of on timed attempt 1, so the reported min is steady
+    # state, the regime a long-running job actually runs in. Previously only
+    # 3 hand-picked queries warmed up and the rest could report a cold wall.
+    for name in BENCH_QUERIES:
+        QUERIES[name](spark, sf_dir).count()
 
     # min-of-2 per query: the sandbox VM shows hypervisor-steal bursts of
     # 5-17% of all CPU in 10s windows (measured via /proc/stat during a
@@ -90,7 +88,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "protocol": "min-of-2 per query after warm-up",
+                "protocol": "min-of-2 per query after one untimed "
+                            "warm-up rep of every query",
                 "attempts": attempts,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "host_load_avg": [round(load1, 2), round(load5, 2),

@@ -80,14 +80,22 @@ def main(argv: list[str] | None = None) -> int:
         df = spark.read.parquet(args.input)
         clusters = run_dedup(spark, df, cfg, warehouse=wh)
     if args.write_cleaned:
-        from dedup.pipeline import cleaned_corpus, key_docs
+        from dedup.pipeline import (cleaned_corpus, cleaned_corpus_from_present,
+                                    key_docs)
 
         if args.stream:
-            # stream mode does not retain corpus rows in the warehouse;
-            # re-read the (accumulated) input dir for the output pass
+            # stream mode does not retain corpus rows in the warehouse; the
+            # output pass re-reads the (accumulated) input dir. Labels
+            # persist across rounds, so a cluster's canonical rep may have
+            # been removed/compacted from --input since it was ingested —
+            # re-canonicalize over the members actually present so the
+            # cluster keeps its next-present member instead of vanishing
+            # (ADVICE r5; ≡ cleaned_corpus when all inputs are retained)
             df = spark.read.parquet(args.input)
-        wh.write(cleaned_corpus(key_docs(df), wh.read("clusters")),
-                 "corpus_cleaned", cfg.config_hash())
+            kept = cleaned_corpus_from_present(key_docs(df), wh.read("clusters"))
+        else:
+            kept = cleaned_corpus(key_docs(df), wh.read("clusters"))
+        wh.write(kept, "corpus_cleaned", cfg.config_hash())
     n = clusters.count()
     n_clusters = clusters.select("cluster_id").distinct().count()
     print(f"docs={n} clusters={n_clusters} warehouse={args.output}")

@@ -172,6 +172,28 @@ def cleaned_corpus(keyed: DataFrame, clusters: DataFrame) -> DataFrame:
     return keyed.join(reps, "doc_key", "left_semi")
 
 
+def cleaned_corpus_from_present(keyed: DataFrame, clusters: DataFrame
+                                ) -> DataFrame:
+    """cleaned_corpus for callers whose corpus rows may be a SUBSET of the
+    labeled docs (ADVICE r5: stream-mode --write-cleaned re-reads the input
+    dir, but cluster labels persist in the warehouse across rounds — a
+    canonical representative whose source file was removed/compacted
+    between rounds would silently drop its whole cluster from the output).
+
+    Re-canonicalizes per cluster over the PRESENT members: keep
+    min(doc_key) among members that still have a corpus row. When every
+    labeled doc is present this returns exactly cleaned_corpus (the
+    canonical label IS the member minimum), so stream mode can use it
+    unconditionally. The extra cost over cleaned_corpus is one min-agg over
+    the narrow (doc_key, cluster_id) label table — map-side-combinable, so
+    a giant boilerplate cluster folds to one row per map task before the
+    shuffle (the same skew-safe primitive as exact_stage); content still
+    crosses the wire exactly once via the final unique-key semi-join."""
+    present = clusters.join(keyed.select("doc_key"), "doc_key", "left_semi")
+    reps = present.groupBy("cluster_id").agg(F.min("doc_key").alias("doc_key"))
+    return keyed.join(reps.select("doc_key"), "doc_key", "left_semi")
+
+
 # ---------------------------------------------------------------------------
 # signature checkpoint: per-partition SignatureBlock sketch rows
 # ---------------------------------------------------------------------------

@@ -555,3 +555,87 @@ def substring_pairs(
                 )
 
     return joined.mapInPandas(verify, VERIFIED_SCHEMA)
+
+
+def containment_pairs(
+    df: DataFrame, cfg: DedupConfig,
+    key_col: str = "doc_key", content_col: str = "content",
+) -> DataFrame:
+    """Directed full-document containment — sub-document dedup, the directed
+    refinement of substring_pairs: (key_contained, key_container) rows where
+    the contained side's content appears verbatim inside the container.
+    Verbatim-equal docs contain each other and emit both directions.
+
+    Two detection regimes (ADVICE r5 — the old query claimed provability
+    unconditionally; the bound is now explicit and the gap is closed):
+
+    - DIRECT, for contained sides <= cfg.substring_chunk bytes: any one of
+      the side's sampled grams surviving inside the shared occurrence puts a
+      3*chunk verification tile around the whole occurrence, so
+      lcs_len == octet_length(side) holds and is SOUND at any length (a
+      common substring covering all of A *is* A in B). Direct positives are
+      therefore never false; completeness needs >= 1 surviving gram — a doc
+      whose EVERY sampled gram lands in an over-cap fingerprint bucket
+      (cfg.band_bucket_cap) yields no candidate, the same compensative cap
+      discipline as every bucket join in the engine.
+    - ESCALATED, for contained sides > chunk bytes: the occurrence can
+      outgrow any anchor tile, saturating lcs_len below the side's length.
+      Candidate pairs carrying such a side re-verify with ONE exact
+      whole-content contains() probe (JVM string search; byte containment
+      iff string containment for valid UTF-8 since a lead byte never matches
+      a continuation byte). Bounded: only pairs with a side over `chunk`
+      bytes (> 1 MiB at the default) escalate, each joins content exactly
+      once, and the bulk pair set stays content-free — the engine invariant
+      that pair-row shuffles never carry content (tests/test_plans.py)
+      holds for all non-escalated mass.
+    """
+    pairs = substring_pairs(df, cfg, key_col, content_col)
+    lens = df.select(
+        F.col(key_col).alias("doc_key"),
+        # BYTES, not chars: lcs_len is measured over utf-8-encoded content
+        F.octet_length(F.coalesce(F.col(content_col), F.lit(""))).alias("blen"),
+    )
+    p = (
+        pairs.join(lens.select(F.col("doc_key").alias("key_a"),
+                               F.col("blen").alias("la")), "key_a")
+        .join(lens.select(F.col("doc_key").alias("key_b"),
+                          F.col("blen").alias("lb")), "key_b")
+    )
+    a_direct = F.col("lcs_len") == F.col("la")
+    b_direct = F.col("lcs_len") == F.col("lb")
+    a_esc = (F.col("la") > F.lit(cfg.substring_chunk)) & ~a_direct
+    b_esc = (F.col("lb") > F.lit(cfg.substring_chunk)) & ~b_direct
+    direct = p.where(a_direct | b_direct).select(
+        "key_a", "key_b", a_direct.alias("a_in_b"), b_direct.alias("b_in_a")
+    )
+    esc = p.where(a_esc | b_esc).select(
+        "key_a", "key_b", a_esc.alias("chk_a"), b_esc.alias("chk_b")
+    )
+    docs = df.select(
+        F.col(key_col).alias("doc_key"),
+        F.coalesce(F.col(content_col), F.lit("")).alias("content"),
+    )
+    escalated = (
+        esc.join(docs.select(F.col("doc_key").alias("key_a"),
+                             F.col("content").alias("content_a")), "key_a")
+        .join(docs.select(F.col("doc_key").alias("key_b"),
+                          F.col("content").alias("content_b")), "key_b")
+        .select(
+            "key_a", "key_b",
+            (F.col("chk_a")
+             & F.contains("content_b", "content_a")).alias("a_in_b"),
+            (F.col("chk_b")
+             & F.contains("content_a", "content_b")).alias("b_in_a"),
+        )
+        .where(F.col("a_in_b") | F.col("b_in_a"))
+    )
+    both = direct.unionByName(escalated)
+    out_a = both.where("a_in_b").select(
+        F.col("key_a").alias("key_contained"),
+        F.col("key_b").alias("key_container"),
+    )
+    out_b = both.where("b_in_a").select(
+        F.col("key_b").alias("key_contained"),
+        F.col("key_a").alias("key_container"),
+    )
+    return out_a.unionByName(out_b).distinct()

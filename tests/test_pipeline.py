@@ -333,3 +333,46 @@ class TestCleanedCorpus:
         cleaned = wh.read("corpus_cleaned")
         clusters = wh.read("clusters")
         assert cleaned.count() == clusters.select("cluster_id").distinct().count()
+
+
+class TestCleanedCorpusFromPresent:
+    def test_missing_rep_falls_back_to_next_present_member(self, spark):
+        """ADVICE r5: stream-mode --write-cleaned re-reads --input while
+        labels persist across rounds; a cluster whose canonical rep's
+        source file is gone must keep its next-present member, not vanish."""
+        from dedup.pipeline import cleaned_corpus, cleaned_corpus_from_present
+
+        clusters = spark.createDataFrame(
+            [("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x")],
+            "doc_key string, cluster_id string",
+        )
+        # rep "a" of cluster a and singleton-rep "x" both missing from corpus
+        keyed = spark.createDataFrame(
+            [("b", "B"), ("c", "C"), ("y", "Y"), ("z", "Z")],
+            "doc_key string, content string",
+        )
+        kept = {r["doc_key"] for r in
+                cleaned_corpus_from_present(keyed, clusters).collect()}
+        # cluster a keeps next-present member b; cluster x keeps y;
+        # unlabeled z is not emitted (same contract as cleaned_corpus)
+        assert kept == {"b", "y"}
+        # the strict variant loses both clusters here — the failure mode
+        # the fallback exists for
+        strict = {r["doc_key"] for r in
+                  cleaned_corpus(keyed, clusters).collect()}
+        assert strict == set()
+
+    def test_equals_cleaned_corpus_when_all_present(self, spark, corpus):
+        """With every labeled doc present the fallback is exactly
+        cleaned_corpus (canonical label IS the member minimum)."""
+        from dedup.pipeline import cleaned_corpus, cleaned_corpus_from_present
+
+        df, pdf, truth = corpus
+        keyed = key_docs(df)
+        clusters = run_dedup(spark, df, CFG)
+        a = {r["doc_key"] for r in
+             cleaned_corpus(keyed, clusters).select("doc_key").collect()}
+        b = {r["doc_key"] for r in
+             cleaned_corpus_from_present(keyed, clusters)
+             .select("doc_key").collect()}
+        assert a == b

@@ -284,3 +284,86 @@ class TestDiagonalExtension:
             f"verify kernel took {wall:.2f}s vs {t_hash:.2f}s hash yardstick "
             "- gallop regression?"
         )
+
+
+class TestContainmentPairs:
+    """ADVICE r5: containment detection is bounded + escalated — direct
+    lcs-covers-side detection for in-window sides, whole-content contains()
+    escalation for sides larger than one verification window."""
+
+    @staticmethod
+    def _mk(spark, rows):
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            {
+                "repo": ["r"] * len(rows),
+                "path": [f"doc/{i:012d}" for i in range(len(rows))],
+                "commit": ["head"] * len(rows),
+                "lang": ["txt"] * len(rows),
+                "content": rows,
+            }
+        )
+        return key_docs(spark.createDataFrame(pdf).repartition(3))
+
+    @staticmethod
+    def _rand_text(rng, n):
+        return "".join(
+            chr(c) for c in rng.integers(ord("a"), ord("z") + 1, size=n)
+        )
+
+    def test_direct_containment_in_window(self, spark):
+        """Contained side <= chunk bytes: detected via lcs_len == length,
+        no escalation needed."""
+        from dedup.suffix import containment_pairs
+
+        rng = np.random.default_rng(7)
+        inner = self._rand_text(rng, 200)
+        outer = self._rand_text(rng, 300) + inner + self._rand_text(rng, 300)
+        other = self._rand_text(rng, 400)
+        df = self._mk(spark, [inner, outer, other])
+        cfg = DedupConfig(substring_min_len=64, substring_chunk=1024)
+        got = {
+            (r["key_contained"], r["key_container"])
+            for r in containment_pairs(df, cfg).collect()
+        }
+        keys = {r["path"]: r["doc_key"] for r in df.select("path", "doc_key").collect()}
+        assert got == {(keys["doc/000000000000"], keys["doc/000000000001"])}
+
+    def test_escalated_containment_beyond_window(self, spark):
+        """Contained side LARGER than the 3*chunk verification tile: the
+        suffix pass alone saturates lcs_len below the side's length (the
+        round-5 silent miss), and the contains() escalation recovers it."""
+        from dedup.suffix import containment_pairs
+
+        rng = np.random.default_rng(11)
+        chunk = 256
+        inner = self._rand_text(rng, 900)          # > 3*chunk = 768
+        outer = self._rand_text(rng, 500) + inner + self._rand_text(rng, 500)
+        df = self._mk(spark, [inner, outer])
+        cfg = DedupConfig(substring_min_len=64, substring_chunk=chunk)
+        raw = substring_pairs(df, cfg).collect()
+        assert raw and all(r["lcs_len"] < 900 for r in raw), (
+            "fixture must saturate the window: lcs_len must undershoot "
+            f"the contained side, got {raw}"
+        )
+        got = {
+            (r["key_contained"], r["key_container"])
+            for r in containment_pairs(df, cfg).collect()
+        }
+        keys = {r["path"]: r["doc_key"] for r in df.select("path", "doc_key").collect()}
+        assert got == {(keys["doc/000000000000"], keys["doc/000000000001"])}
+
+    def test_verbatim_equal_docs_contain_each_other(self, spark):
+        from dedup.suffix import containment_pairs
+
+        rng = np.random.default_rng(13)
+        text = self._rand_text(rng, 300)
+        df = self._mk(spark, [text, text])
+        cfg = DedupConfig(substring_min_len=64, substring_chunk=1024)
+        got = {
+            (r["key_contained"], r["key_container"])
+            for r in containment_pairs(df, cfg).collect()
+        }
+        ks = sorted(r["doc_key"] for r in df.select("doc_key").collect())
+        assert got == {(ks[0], ks[1]), (ks[1], ks[0])}
