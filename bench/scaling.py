@@ -96,6 +96,7 @@ def run_level(cores: int) -> dict:
     cmd = [sys.executable, "-c", script, str(cores)]
     if os.path.exists("/usr/bin/taskset"):
         cmd = ["/usr/bin/taskset", "-c", f"0-{cores - 1}"] + cmd
+    load_before = os.getloadavg()
     out = subprocess.run(
         cmd,
         capture_output=True, text=True, timeout=3600,
@@ -103,7 +104,12 @@ def run_level(cores: int) -> dict:
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     if not lines:
         raise RuntimeError(f"bench run failed:\n{out.stderr[-2000:]}")
-    return json.loads(lines[-1])
+    res = json.loads(lines[-1])
+    # attribute host conditions (VERDICT r5 #3: a scaling pair is only
+    # defensible when both levels ran under comparable, quiet load)
+    res["load_avg_before"] = [round(x, 2) for x in load_before]
+    res["load_avg_after"] = [round(x, 2) for x in os.getloadavg()]
+    return res
 
 
 def main() -> None:
