@@ -53,11 +53,13 @@ def job():
 # BEST of three steady runs (the sandbox VM is noisy — min is the standard
 # estimator for the machine's actual capability)
 t0 = time.time(); n_pairs = job(); warm_wall = time.time() - t0
+print(f"warm-up done in {{warm_wall:.1f}}s", file=sys.stderr, flush=True)
 walls = []
-for _ in range(4):
+for i in range(4):
     t0 = time.time()
     assert job() == n_pairs
     walls.append(time.time() - t0)
+    print(f"run {{i + 1}}/4: {{walls[-1]:.1f}}s", file=sys.stderr, flush=True)
 wall = min(walls)
 print(json.dumps(dict(cores=cores, n_files=n_files, n_pairs=n_pairs,
                       cold_wall=round(warm_wall, 2),
@@ -99,11 +101,14 @@ def run_level(cores: int) -> dict:
     load_before = os.getloadavg()
     out = subprocess.run(
         cmd,
-        capture_output=True, text=True, timeout=3600,
+        # warm-up + min-of-4 at the 4-core level is ~5 x 700s on a slow
+        # host-day — 3600s cut the round-6 first attempt off mid-batch;
+        # stderr streams through so per-run progress is visible live
+        stdout=subprocess.PIPE, text=True, timeout=7200,
     )
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     if not lines:
-        raise RuntimeError(f"bench run failed:\n{out.stderr[-2000:]}")
+        raise RuntimeError("bench run failed (see streamed stderr above)")
     res = json.loads(lines[-1])
     # attribute host conditions (VERDICT r5 #3: a scaling pair is only
     # defensible when both levels ran under comparable, quiet load)
