@@ -1470,6 +1470,52 @@ def q_asset_near_dups(spark, sf_dir):
     return asset_near_dups(assets.unionByName(copies))
 
 
+def q_asset_cleaned(spark, sf_dir):
+    """ORACLE for the asset-side OUTPUT stage (VERDICT r5 #7,
+    multimodal.cleaned_assets): plant byte-identical copies of the first 50
+    assets, cluster the perceptual near-dup graph (connected components,
+    canonical label = min asset_id), keep one representative per cluster.
+
+    DuckDB recomputes the expected survivors independently: on the driver's
+    text-payload assets every decoder falls back to the deterministic
+    content-hash-seeded stub, so two assets pair iff their payload BYTES are
+    equal (distinct payloads give crc-seeded pseudo-random unit vectors whose
+    cosine never crosses the 0.92 verify threshold at sf<=0.01 — verified
+    empirically, same regime the asset_planted_recall oracle relies on).
+    Clusters are therefore exact payload-equality groups with the planted
+    copies attached, and the kept set is the per-text-group minimum asset id
+    ('asset…' < 'copy-…' lexicographically, so a copy never wins). A missed
+    planted pair keeps its copy (extra row → fail); a spurious merge drops a
+    real original (missing row → fail)."""
+    from dedup.multimodal import (
+        asset_clusters, assets_from_documents, cleaned_assets,
+    )
+
+    docs = _docs(spark, sf_dir)
+    assets = assets_from_documents(docs)
+    copies = assets_from_documents(docs.where(F.col("doc_id") < 50)).withColumn(
+        "asset_id", F.concat(F.lit("copy-"), F.col("asset_id"))
+    )
+    combined = assets.unionByName(copies)
+    labels = asset_clusters(combined)
+    return cleaned_assets(combined, labels).select("asset_id", "kind")
+
+
+SQL_ASSET_CLEANED = """
+WITH ids AS (
+  SELECT printf('asset%06d', doc_id) AS asset_id,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         coalesce(text, '') AS t
+  FROM documents
+)
+SELECT i.asset_id, i.kind
+FROM ids i
+JOIN (SELECT t, min(asset_id) AS rep FROM ids GROUP BY t) g
+  ON g.t = i.t AND i.asset_id = g.rep
+"""
+
+
 def q_corpus_minhash_by_lang(spark, sf_dir):
     """Mergeable corpus-level MinHash sketch per language: partial sketches
     per partition, associative merge per group — the reference's
@@ -1612,6 +1658,8 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "dedup_audit_identities": q_dedup_audit_identities,
     "ann_ivf_cell_audit": q_ann_ivf_cell_audit,
+    # VERDICT r5 #7: asset-side cleaned output
+    "asset_cleaned": q_asset_cleaned,
 }
 
 ORACLES = {
@@ -1656,4 +1704,5 @@ ORACLES = {
     "multimodal_meta": SQL_MULTIMODAL_META,
     "dedup_audit_identities": SQL_DEDUP_AUDIT_IDENTITIES,
     "ann_ivf_cell_audit": SQL_ANN_IVF_CELL_AUDIT,
+    "asset_cleaned": SQL_ASSET_CLEANED,
 }

@@ -215,3 +215,39 @@ class TestRealDecoders:
         a = np.array(rows["v1"]["embedding"])
         b = np.array(rows["v2"]["embedding"])
         assert float(a @ b) > 0.99
+
+
+class TestCleanedAssets:
+    """Asset-side cleaned output (VERDICT r5 #7): one rep per perceptual
+    cluster, labels checked against the numpy union-find oracle."""
+
+    def test_cleaned_assets_keep_min_rep_per_cluster(self, spark, assets):
+        from dedup.cluster import numpy_connected_components
+        from dedup.multimodal import (
+            asset_clusters, asset_near_dups, cleaned_assets,
+        )
+
+        copies = assets.limit(10).withColumn(
+            "asset_id", F.concat(F.lit("copy-"), F.col("asset_id"))
+        )
+        combined = assets.unionByName(copies)
+        labels = asset_clusters(combined)
+
+        # oracle: numpy union-find over the same pair set + self-labels
+        pairs = [
+            (r["asset_a"], r["asset_b"])
+            for r in asset_near_dups(combined).collect()
+        ]
+        oracle = numpy_connected_components(pairs)
+        all_ids = [r["asset_id"] for r in combined.select("asset_id").collect()]
+        expect = {i: oracle.get(i, i) for i in all_ids}
+        got = {r["doc_key"]: r["cluster_id"] for r in labels.collect()}
+        assert got == expect
+
+        kept = cleaned_assets(combined, labels)
+        kept_ids = {r["asset_id"] for r in kept.select("asset_id").collect()}
+        assert kept_ids == {c for c in expect.values()}
+        # every planted copy's cluster keeps the original, never the copy
+        assert not any(i.startswith("copy-") for i in kept_ids)
+        # kept rows are REAL asset rows (payload survives the semi-join)
+        assert dict(kept.dtypes)["payload"] == "binary"
