@@ -40,6 +40,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="also write `corpus_cleaned` — one representative "
                     "document per near-dup cluster (the deduplicated corpus "
                     "a downstream trainer consumes)")
+    ap.add_argument("--substring", action="store_true",
+                    help="also run the exact long-substring pass; in "
+                    "--stream mode it is INCREMENTAL (only newly ingested "
+                    "docs are fingerprinted and paired against the "
+                    "accumulated state; requires --input to retain ingested "
+                    "files, like --write-cleaned). Pairs land in the "
+                    "`stream_substring_pairs` / `substring_pairs` table")
     ap.add_argument("--stream-checkpoint", default=None,
                     help="streaming checkpoint dir (default: <output>/_stream_ckpt)")
     ap.add_argument("--checkpoint-dir", default=None,
@@ -76,9 +83,22 @@ def main(argv: list[str] | None = None) -> int:
         # (re)written under --output after every ingest round
         wh.write(stream_clusters(spark, wh, cfg), "clusters", cfg.config_hash())
         clusters = wh.read("clusters")
+        if args.substring:
+            from dedup.streaming import stream_substring_pairs
+
+            stream_substring_pairs(
+                spark, wh, cfg, spark.read.parquet(args.input)
+            )
     else:
         df = spark.read.parquet(args.input)
         clusters = run_dedup(spark, df, cfg, warehouse=wh)
+        if args.substring:
+            from dedup.pipeline import exact_stage, key_docs
+            from dedup.suffix import substring_pairs
+
+            reps, _ = exact_stage(key_docs(df))
+            wh.write(substring_pairs(reps, cfg), "substring_pairs",
+                     cfg.config_hash())
     if args.write_cleaned:
         from dedup.pipeline import (cleaned_corpus, cleaned_corpus_from_present,
                                     key_docs)

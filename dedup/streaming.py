@@ -48,6 +48,10 @@ BAND_TABLE = "checkpoint_bands"
 # stage yet must still fold verbatim copies across batches (an empty file
 # arriving in two batches is still one exact-dup pair — batch parity)
 SHA_REP_TABLE = "stream_sha_reps"
+# incremental substring pass state: accumulated per-doc sampled fingerprints
+# (the later-member work-list anchor) and the verified long-substring pairs
+FP_TABLE = "stream_fingerprints"
+SUBSTR_TABLE = "stream_substring_pairs"
 
 
 def _incremental_candidates(
@@ -461,6 +465,105 @@ def read_stream_exact_pairs(wh: Warehouse) -> DataFrame:
     """
     return (
         wh.read("stream_exact_pairs").select("key_a", "key_b").distinct()
+    )
+
+
+def stream_substring_pairs(
+    spark: SparkSession,
+    wh: Warehouse,
+    cfg: DedupConfig,
+    corpus: DataFrame,
+    key_cols: list[str] | None = None,
+) -> DataFrame:
+    """Incremental exact long-substring pass — the suffix-array stage joins
+    the streaming story (the north rule's third dedup mode, previously
+    batch-only): fingerprint ONLY the sha-representative docs not yet in the
+    accumulated fingerprint table, generate candidates whose later member is
+    new (new-vs-new + one equi-join against the accumulated table, combined
+    bucket cap — suffix.incremental_anchored_candidates), verify with the
+    SAME offset-anchored exact kernel as the batch pass, and append. Per-call
+    work is proportional to the new docs, not the corpus.
+
+    `corpus` must cover every doc in the sha-rep table — the same
+    input-retention contract as stream-mode --write-cleaned (content is NOT
+    persisted in the warehouse; at 10^12-file scale the corpus is the lake
+    table itself and this parameter is one `spark.read.table(...)`).
+
+    Crash-ordering: pairs append FIRST, fingerprints LAST (the commit
+    point) — a crash in between leaves this round's docs unfingerprinted,
+    so the next call regenerates and re-verifies their pairs; the re-appends
+    dedupe on read (read_stream_substring_pairs), the same at-least-once
+    discipline as every pair table here.
+
+    Returns the ACCUMULATED deduped pair set (key_a, key_b, lcs_len)."""
+    from dedup.suffix import (
+        fingerprints,
+        incremental_anchored_candidates,
+        verified_substring_pairs,
+    )
+
+    key_cols = key_cols or ["repo", "path", "commit"]
+    cfg_hash = cfg.config_hash()
+    t0 = time.time()
+    if not wh.exists(SHA_REP_TABLE):
+        return spark.createDataFrame(
+            [], "key_a string, key_b string, lcs_len int"
+        )
+    keyed = with_doc_key(corpus, key_cols)
+    reps = (
+        wh.read(SHA_REP_TABLE)
+        .where(F.col("config_hash") == cfg_hash)
+        .select("doc_key")
+        .distinct()
+    )
+    work = keyed.join(reps, "doc_key", "left_semi")
+    old_fps = None
+    if wh.exists(FP_TABLE):
+        stored = (
+            wh.read(FP_TABLE)
+            .where(F.col("config_hash") == cfg_hash)
+            .select("doc_key", "fp_hash", "fp_off")
+            # at-least-once appends dedupe on read, like the band table
+            .dropDuplicates(["doc_key", "fp_hash", "fp_off"])
+        )
+        work = work.join(
+            stored.select("doc_key").distinct(), "doc_key", "left_anti"
+        )
+        old_fps = stored
+    # eager: the fingerprint kernel output feeds the size pass, the join and
+    # the final append — localCheckpoint runs it exactly once
+    new_fps = materialize(fingerprints(work, cfg), eager=True)
+    cand = incremental_anchored_candidates(new_fps, old_fps, cfg)
+    docs = keyed.select("doc_key", "content")
+    pairs = verified_substring_pairs(cand, docs, cfg)
+    n_new = new_fps.select("doc_key").distinct().count()
+    wh.append(
+        pairs.withColumn("config_hash", F.lit(cfg_hash)), SUBSTR_TABLE
+    )
+    wh.append(
+        new_fps.withColumn("config_hash", F.lit(cfg_hash)), FP_TABLE
+    )
+    wh.record_metrics(
+        "stream_substring", cfg_hash,
+        int((time.time() - t0) * 1000), rows_in=n_new,
+    )
+    return read_stream_substring_pairs(wh, cfg)
+
+
+def read_stream_substring_pairs(wh: Warehouse, cfg: DedupConfig) -> DataFrame:
+    """Accumulated verified long-substring pairs, deduped on read (a replayed
+    round re-verifies the same pair with the same deterministic kernel, so
+    max == the unique value; max also upgrades a pair first seen through a
+    saturated window if a later replay measured deeper)."""
+    if not wh.exists(SUBSTR_TABLE):
+        return wh.spark.createDataFrame(
+            [], "key_a string, key_b string, lcs_len int"
+        )
+    return (
+        wh.read(SUBSTR_TABLE)
+        .where(F.col("config_hash") == cfg.config_hash())
+        .groupBy("key_a", "key_b")
+        .agg(F.max("lcs_len").alias("lcs_len"))
     )
 
 

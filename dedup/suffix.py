@@ -142,8 +142,6 @@ def anchored_candidates(fp_df: DataFrame, cfg: DedupConfig,
     snippets plus one real block keeps a high chance of an anchor inside the
     block. Bounded per-pair verification cost replaces the old content-prefix
     truncation that silently rejected blocks past 1 MiB (VERDICT r2 #3)."""
-    from pyspark.sql import Window
-
     b = _eligible_fp(fp_df, cfg)
     a2, b2 = b.alias("a"), b.alias("b")
     anchors = a2.join(
@@ -158,10 +156,75 @@ def anchored_candidates(fp_df: DataFrame, cfg: DedupConfig,
         F.col("a.fp_off").alias("off_a"),
         F.col("b.fp_off").alias("off_b"),
     )
-    # Window over PAIR KEYS only — the engine-wide invariant is "no Window
-    # over a content-carrying child" (plan-tested across run_dedup and
-    # substring_pairs): these rows are 4 fixed-width columns, partitions are
-    # bounded by fingerprints-per-pair, and content never reaches this plan.
+    return _assemble_anchors(anchors, max_anchors)
+
+
+def incremental_anchored_candidates(
+    new_fps: DataFrame, old_fps: DataFrame | None, cfg: DedupConfig,
+    max_anchors: int = MAX_ANCHORS,
+) -> DataFrame:
+    """Anchored candidates for the INCREMENTAL substring pass: every pair
+    whose LATER-fingerprinted member is in `new_fps` — new-vs-new plus
+    new-vs-old via one equi-join on the accumulated fingerprint table, the
+    same shape as streaming._incremental_candidates for LSH bands. Buckets
+    are gated on the COMBINED (old + new) population against
+    cfg.band_bucket_cap, matching the batch drop semantics at the time the
+    later member arrives; pairs a batch run would drop because a bucket
+    only LATER outgrew the cap may already have been emitted in an earlier
+    round — incremental recall is a superset of batch under caps, never a
+    subset. With no accumulated table this degenerates to the batch
+    generator."""
+    if old_fps is None:
+        return anchored_candidates(new_fps, cfg, max_anchors)
+    new_sz = new_fps.groupBy("fp_hash").agg(F.count("*").alias("sz_new"))
+    old_sz = old_fps.groupBy("fp_hash").agg(F.count("*").alias("sz_old"))
+    total = F.col("sz_new") + F.coalesce(F.col("sz_old"), F.lit(0))
+    eligible = (
+        new_sz.join(old_sz, "fp_hash", "left")
+        .where((total >= 2) & (total <= cfg.band_bucket_cap))
+        .select("fp_hash")
+    )
+    gated_new = new_fps.join(eligible, "fp_hash")
+    gated_old = old_fps.join(eligible, "fp_hash")
+    both = gated_new.withColumn("is_new", F.lit(True)).unionByName(
+        gated_old.withColumn("is_new", F.lit(False))
+    )
+    # orientation: a new-new pair appears in both join orders — keep one;
+    # a new-old pair appears only with the new doc on the left — keep all.
+    # Offsets follow their keys through the least/greatest normalization.
+    a_first = F.col("a.doc_key") < F.col("b.doc_key")
+    raw = (
+        gated_new.alias("a")
+        .join(
+            both.alias("b"),
+            on=[
+                F.col("a.fp_hash") == F.col("b.fp_hash"),
+                F.when(F.col("b.is_new"), a_first).otherwise(
+                    F.col("a.doc_key") != F.col("b.doc_key")
+                ),
+            ],
+        )
+        .select(
+            F.least("a.doc_key", "b.doc_key").alias("key_a"),
+            F.greatest("a.doc_key", "b.doc_key").alias("key_b"),
+            F.when(a_first, F.col("a.fp_off"))
+            .otherwise(F.col("b.fp_off")).alias("off_a"),
+            F.when(a_first, F.col("b.fp_off"))
+            .otherwise(F.col("a.fp_off")).alias("off_b"),
+        )
+    )
+    return _assemble_anchors(raw, max_anchors)
+
+
+def _assemble_anchors(anchors: DataFrame, max_anchors: int) -> DataFrame:
+    """(key_a, key_b, off_a, off_b) rows → (key_a, key_b, anchors≤cap).
+
+    Window over PAIR KEYS only — the engine-wide invariant is "no Window
+    over a content-carrying child" (plan-tested across run_dedup and
+    substring_pairs): these rows are 4 fixed-width columns, partitions are
+    bounded by fingerprints-per-pair, and content never reaches this plan."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy("key_a", "key_b").orderBy(
         F.xxhash64("off_a", "off_b"), F.asc("off_a"), F.asc("off_b")
     )
@@ -473,6 +536,19 @@ def substring_pairs(
     docs = df.select(
         F.col(key_col).alias("doc_key"), F.col(content_col).alias("content")
     )
+    return verified_substring_pairs(cand, docs, cfg, max_anchors)
+
+
+def verified_substring_pairs(
+    cand: DataFrame, docs: DataFrame, cfg: DedupConfig,
+    max_anchors: int = MAX_ANCHORS,
+) -> DataFrame:
+    """Verification half of substring_pairs, reusable by the incremental
+    streaming pass: given (key_a, key_b, anchors) candidates and a
+    (doc_key, content) table covering every referenced key, cut the
+    chunk-aligned anchor windows JVM-side and run the exact offset-anchored
+    LCS kernel. All the plan invariants documented on substring_pairs hold
+    here — this IS that code path."""
     min_len = cfg.substring_min_len
     cap = cfg.substring_chunk
     side_a = (

@@ -283,3 +283,60 @@ class TestPlanInvariants:
         assert "media_meta" not in plan.split("MapInPandas")[0], (
             "metadata struct must not cross the Arrow boundary"
         )
+
+
+class TestIncrementalSubstringPlans:
+    def test_incremental_substring_pair_rows_content_free(self, spark):
+        """The incremental candidate generator + shared verifier keep the
+        batch pass's 100TB invariants: no pair-row exchange carries content,
+        the pair-side kernel sees only JVM-cut windows, and no row-Python
+        appears anywhere."""
+        import re
+
+        from dedup.config import DedupConfig
+        from dedup.suffix import (
+            fingerprints,
+            incremental_anchored_candidates,
+            verified_substring_pairs,
+        )
+
+        cfg = DedupConfig(substring_min_len=64)
+        corpus = spark.read.parquet(f"{SF}/documents.parquet").select(
+            F.format_string("d%06d", "doc_id").alias("doc_key"),
+            F.coalesce("text", F.lit("")).alias("content"),
+        )
+        old = corpus.where("doc_key < 'd000300'")
+        new = corpus.where("doc_key >= 'd000300'")
+        old_fps = fingerprints(old, cfg)
+        new_fps = fingerprints(new, cfg)
+        cand = incremental_anchored_candidates(new_fps, old_fps, cfg)
+        conf = spark.conf
+        old_bc = conf.get("spark.sql.autoBroadcastJoinThreshold")
+        old_aqe = conf.get("spark.sql.adaptive.enabled")
+        try:
+            conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            conf.set("spark.sql.adaptive.enabled", "false")
+            df = verified_substring_pairs(cand, corpus, cfg)
+            plan = df._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "formatted"
+                )
+            )
+        finally:
+            conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+            conf.set("spark.sql.adaptive.enabled", old_aqe)
+        assert "BatchEvalPython" not in plan
+        exchanges = re.findall(
+            r"\(\d+\) Exchange[^\n]*\nInput \[\d+\]: \[([^\]]*)\]", plan
+        )
+        assert exchanges, plan
+        for cols in exchanges:
+            is_pair_row = "key_a" in cols and "key_b" in cols
+            assert not (is_pair_row and "content" in cols), cols
+        mps = re.findall(
+            r"\(\d+\) MapInPandas[^\n]*\nInput \[\d+\]: \[([^\]]*)\]", plan
+        )
+        pair_mps = [cols for cols in mps if "key_b" in cols]
+        assert pair_mps, plan
+        for cols in pair_mps:
+            assert "content" not in cols and "wins_a" in cols, cols

@@ -390,15 +390,23 @@ class TestStreamingIngest:
         os.makedirs(in_dir)
         out = str(tmp_path / "cli_wh")
         spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(in_dir)
-        assert main(["--input", in_dir, "--output", out, "--stream"]) == 0
+        assert main(["--input", in_dir, "--output", out, "--stream",
+                     "--substring"]) == 0
         wh = Warehouse(spark, out)
         assert wh.exists("checkpoint_bands")
         assert wh.exists("stream_verified_pairs")
         assert wh.exists("clusters"), "--stream must write the clusters table"
-        # second run over the same files: offsets consumed, nothing re-banded
+        assert wh.exists("stream_fingerprints"), (
+            "--substring must persist the incremental fingerprint state"
+        )
+        # second run over the same files: offsets consumed, nothing
+        # re-banded, nothing re-fingerprinted
         bands_before = wh.read("checkpoint_bands").count()
-        assert main(["--input", in_dir, "--output", out, "--stream"]) == 0
+        fps_before = wh.read("stream_fingerprints").count()
+        assert main(["--input", in_dir, "--output", out, "--stream",
+                     "--substring"]) == 0
         assert wh.read("checkpoint_bands").count() == bands_before
+        assert wh.read("stream_fingerprints").count() == fps_before
 
     def test_watermarked_lang_counts_emit_on_window_close(self, spark, tmp_path):
         """Append-mode watermarked windowed aggregation: a window only emits
@@ -674,3 +682,90 @@ class TestStreamingSoak:
             for r in run_dedup(spark, spark.createDataFrame(full), CFG).collect()
         }
         assert got == want, "50-batch incremental labels diverge from batch"
+
+
+class TestStreamingSubstring:
+    def test_incremental_substring_matches_batch(self, spark, tmp_path):
+        """Incremental suffix pass ≡ batch: two arrival rounds through
+        stream_substring_pairs find exactly the batch substring_pairs set
+        over the full corpus's sha-representatives (compared at the
+        content-sha level — stream rep choice per sha may differ from the
+        batch global-min rep when exact dups straddle batches, but reps of
+        equal content have equal shas and equal lcs). Per-round fingerprint
+        appends cover ONLY the new docs, and a no-new-docs call is a no-op."""
+        from dedup.pipeline import exact_stage, key_docs
+        from dedup.streaming import (
+            FP_TABLE,
+            read_stream_substring_pairs,
+            stream_substring_pairs,
+        )
+        from dedup.suffix import substring_pairs
+
+        pdf, _ = make_corpus(n_base=40, seed=55)
+        pdf = pdf.sample(frac=1.0, random_state=9).reset_index(drop=True)
+        half = len(pdf) // 2
+        in_dir = str(tmp_path / "in_sub")
+        os.makedirs(in_dir)
+        wh = Warehouse(spark, str(tmp_path / "wh_sub"))
+        ckpt = str(tmp_path / "ck_sub")
+
+        def sha_pairs(rows, sha_of):
+            out = set()
+            for r in rows:
+                a, b = sha_of[r["key_a"]], sha_of[r["key_b"]]
+                out.add((min(a, b), max(a, b), r["lcs_len"]))
+            return out
+
+        # round 1
+        spark.createDataFrame(pdf.iloc[:half]).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        ingest_stream(spark, in_dir, wh, CFG, ckpt)
+        corpus = spark.read.parquet(in_dir)
+        stream_substring_pairs(spark, wh, CFG, corpus)
+        fp_docs_r1 = (
+            wh.read(FP_TABLE).select("doc_key").distinct().count()
+        )
+
+        # round 2
+        spark.createDataFrame(pdf.iloc[half:]).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+        ingest_stream(spark, in_dir, wh, CFG, ckpt)
+        corpus = spark.read.parquet(in_dir)
+        got_df = stream_substring_pairs(spark, wh, CFG, corpus)
+
+        keyed = key_docs(spark.createDataFrame(pdf))
+        sha_of = {
+            r["doc_key"]: r["content_sha"]
+            for r in keyed.select("doc_key", "content_sha").collect()
+        }
+        reps, _ = exact_stage(keyed)
+        want = sha_pairs(substring_pairs(reps, CFG).collect(), sha_of)
+        got = sha_pairs(got_df.collect(), sha_of)
+        assert got == want, (
+            f"incremental substring pairs diverge: extra={got - want}, "
+            f"missing={want - got}"
+        )
+
+        # work-list proportionality: round 2 fingerprinted only new reps.
+        # Docs shorter than the 64-char gram yield zero fp rows, so the
+        # comparator is the batch kernel's doc set, not the rep count.
+        from dedup.suffix import fingerprints
+
+        n_fp_docs_batch = (
+            fingerprints(reps, CFG).select("doc_key").distinct().count()
+        )
+        fp_docs_r2 = (
+            wh.read(FP_TABLE).select("doc_key").distinct().count()
+        )
+        assert fp_docs_r1 < fp_docs_r2 == n_fp_docs_batch
+
+        # third call with nothing new: no re-fingerprinting, stable pairs
+        rows_before = wh.read(FP_TABLE).count()
+        again = stream_substring_pairs(spark, wh, CFG, corpus)
+        assert wh.read(FP_TABLE).count() == rows_before
+        assert sha_pairs(again.collect(), sha_of) == want
+        assert sha_pairs(
+            read_stream_substring_pairs(wh, CFG).collect(), sha_of
+        ) == want
