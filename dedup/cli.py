@@ -26,6 +26,12 @@ import sys
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="corpus parquet/iceberg path")
+    ap.add_argument("--input-format", choices=["parquet", "iceberg"],
+                    default="parquet",
+                    help="'iceberg' treats --input as a catalog table name "
+                    "(spark.read.table / spark.readStream.table — requires "
+                    "the Iceberg runtime jar + catalog conf on spark-submit); "
+                    "'parquet' (default) treats it as a directory path")
     ap.add_argument("--output", required=True, help="warehouse directory")
     ap.add_argument("--shingle-k", type=int, default=5)
     ap.add_argument("--num-perm", type=int, default=128)
@@ -74,11 +80,18 @@ def main(argv: list[str] | None = None) -> int:
     if args.checkpoint_dir:
         spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
     wh = Warehouse(spark, args.output)
+
+    def read_corpus():
+        if args.input_format == "iceberg":
+            return spark.read.table(args.input)
+        return spark.read.parquet(args.input)
+
     if args.stream:
         from dedup.streaming import ingest_stream, stream_clusters
 
         ckpt = args.stream_checkpoint or f"{args.output}/_stream_ckpt"
-        ingest_stream(spark, args.input, wh, cfg, ckpt)
+        ingest_stream(spark, args.input, wh, cfg, ckpt,
+                      input_format=args.input_format)
         # same warehouse contract as batch mode: the clusters table is
         # (re)written under --output after every ingest round
         wh.write(stream_clusters(spark, wh, cfg), "clusters", cfg.config_hash())
@@ -86,11 +99,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.substring:
             from dedup.streaming import stream_substring_pairs
 
-            stream_substring_pairs(
-                spark, wh, cfg, spark.read.parquet(args.input)
-            )
+            stream_substring_pairs(spark, wh, cfg, read_corpus())
     else:
-        df = spark.read.parquet(args.input)
+        df = read_corpus()
         clusters = run_dedup(spark, df, cfg, warehouse=wh)
         if args.substring:
             from dedup.pipeline import exact_stage, key_docs
@@ -111,7 +122,7 @@ def main(argv: list[str] | None = None) -> int:
             # re-canonicalize over the members actually present so the
             # cluster keeps its next-present member instead of vanishing
             # (ADVICE r5; ≡ cleaned_corpus when all inputs are retained)
-            df = spark.read.parquet(args.input)
+            df = read_corpus()
             kept = cleaned_corpus_from_present(key_docs(df), wh.read("clusters"))
         else:
             kept = cleaned_corpus(key_docs(df), wh.read("clusters"))

@@ -116,6 +116,23 @@ def _incremental_candidates(
     return pairs, return_bands
 
 
+def _corpus_stream(spark: SparkSession, input_dir: str,
+                   input_format: str) -> DataFrame:
+    """Streaming corpus source: file-source parquet listing, or an Iceberg
+    catalog table (readStream.table — incremental snapshot scan; the table
+    provides its own schema). Split out so the dispatch is contract-testable
+    without the runtime jar (same approach as tests/test_warehouse_iceberg)."""
+    if input_format == "iceberg":
+        return spark.readStream.table(input_dir)
+    if input_format != "parquet":
+        raise ValueError(f"unknown input_format {input_format!r}")
+    return (
+        spark.readStream.schema(CORPUS_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_dir)
+    )
+
+
 def ingest_stream(
     spark: SparkSession,
     input_dir: str,
@@ -123,18 +140,21 @@ def ingest_stream(
     cfg: DedupConfig,
     checkpoint_dir: str,
     key_cols: list[str] | None = None,
+    input_format: str = "parquet",
 ) -> None:
     """Process all currently-available corpus files into the signature
     checkpoint tables, exactly once per doc_key, then stop (AvailableNow).
 
     Re-running after new files arrive ingests only the new documents
-    (streaming-source offset tracking + the resume anti-join)."""
+    (streaming-source offset tracking + the resume anti-join).
+
+    input_format="iceberg" treats input_dir as a catalog table name and
+    reads it through readStream.table — Iceberg's incremental snapshot
+    scan replaces the file-source listing, offsets are snapshot ids in the
+    same checkpoint location, and everything downstream is identical (the
+    north rule's deployment: the corpus IS the lake table)."""
     key_cols = key_cols or ["repo", "path", "commit"]
-    stream = (
-        spark.readStream.schema(CORPUS_SCHEMA)
-        .option("maxFilesPerTrigger", 64)
-        .parquet(input_dir)
-    )
+    stream = _corpus_stream(spark, input_dir, input_format)
 
     def process_batch(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():

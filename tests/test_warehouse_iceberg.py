@@ -190,3 +190,63 @@ def test_drop_clears_manifest_entry(wh):
     assert not w.is_complete("clusters", "cfgA")
     m = json.load(open(os.path.join(w.root, "_manifest.json")))
     assert "clusters" not in m["tables"]
+
+
+class FakeStreamReader:
+    def __init__(self, events):
+        self._events = events
+
+    def table(self, name):
+        self._events.append(("readStream.table", name))
+        return f"stream:{name}"
+
+    def schema(self, s):
+        self._events.append(("readStream.schema", s))
+        return self
+
+    def option(self, k, v):
+        self._events.append(("readStream.option", f"{k}={v}"))
+        return self
+
+    def parquet(self, path):
+        self._events.append(("readStream.parquet", path))
+        return f"stream:{path}"
+
+
+class FakeStreamSpark:
+    def __init__(self):
+        self.events = []
+
+    @property
+    def readStream(self):
+        return FakeStreamReader(self.events)
+
+
+class TestIcebergStreamSource:
+    """Contract for the streaming corpus-source dispatch (no runtime jar in
+    the sandbox): input_format='iceberg' must read through readStream.table
+    (incremental snapshot scan, table-provided schema), 'parquet' through the
+    schema'd file source; anything else fails loudly."""
+
+    def test_iceberg_uses_read_stream_table(self):
+        from dedup.streaming import _corpus_stream
+
+        fake = FakeStreamSpark()
+        out = _corpus_stream(fake, "lake.db.corpus", "iceberg")
+        assert out == "stream:lake.db.corpus"
+        assert fake.events == [("readStream.table", "lake.db.corpus")]
+
+    def test_parquet_uses_file_source_with_schema(self):
+        from dedup.streaming import CORPUS_SCHEMA, _corpus_stream
+
+        fake = FakeStreamSpark()
+        out = _corpus_stream(fake, "/data/in", "parquet")
+        assert out == "stream:/data/in"
+        assert ("readStream.schema", CORPUS_SCHEMA) in fake.events
+        assert ("readStream.option", "maxFilesPerTrigger=64") in fake.events
+
+    def test_unknown_format_raises(self):
+        from dedup.streaming import _corpus_stream
+
+        with pytest.raises(ValueError):
+            _corpus_stream(FakeStreamSpark(), "x", "orc")
