@@ -107,7 +107,9 @@ def main(argv: list[str] | None = None) -> int:
             from dedup.pipeline import exact_stage, key_docs
             from dedup.suffix import substring_pairs
 
-            reps, _ = exact_stage(key_docs(df))
+            # need_pairs=False: the exact pairs were already folded and
+            # persisted inside run_dedup — this pass only needs the reps
+            reps, _ = exact_stage(key_docs(df), need_pairs=False)
             wh.write(substring_pairs(reps, cfg), "substring_pairs",
                      cfg.config_hash())
     if args.write_cleaned:

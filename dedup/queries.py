@@ -839,11 +839,13 @@ def q_embedding_ann_ivf_exhaustive(spark, sf_dir):
     """ORACLE for the IVF machinery: probing every cell (nprobe =
     n_centroids) degenerates to exact search, so the full IVF path —
     quantizer training, cell assignment, cell join, ranking — must
-    reproduce the brute-force answer bit-for-bit."""
+    reproduce the brute-force answer bit-for-bit. cell_cap is lifted
+    explicitly: the exhaustive claim requires NO compensative drops (the
+    default cap is the scale path's discipline, not this oracle's)."""
     e = _emb(spark, sf_dir)
     return ivf_topk(
         e.where(F.col("vec_id") < 10), e.where(F.col("vec_id") >= 10),
-        k=5, n_centroids=16, nprobe=16,
+        k=5, n_centroids=16, nprobe=16, cell_cap=1 << 62,
     )
 
 

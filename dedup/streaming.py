@@ -123,7 +123,15 @@ def _corpus_stream(spark: SparkSession, input_dir: str,
     provides its own schema). Split out so the dispatch is contract-testable
     without the runtime jar (same approach as tests/test_warehouse_iceberg)."""
     if input_format == "iceberg":
-        return spark.readStream.table(input_dir)
+        # same per-micro-batch discipline as the parquet branch's
+        # maxFilesPerTrigger: without it, the first run over a pre-populated
+        # lake table hands AvailableNow the ENTIRE backlog as one giant
+        # foreachBatch call (Iceberg read options; ignored by other sources)
+        return (
+            spark.readStream
+            .option("streaming-max-files-per-micro-batch", 64)
+            .table(input_dir)
+        )
     if input_format != "parquet":
         raise ValueError(f"unknown input_format {input_format!r}")
     return (
@@ -549,19 +557,39 @@ def stream_substring_pairs(
         work = work.join(
             stored.select("doc_key").distinct(), "doc_key", "left_anti"
         )
-        old_fps = stored
+        # sentinel rows (fp_off = -1, below) mark processed docs with zero
+        # sampled fingerprints — they gate the work-list above but must
+        # never enter candidate generation
+        old_fps = stored.where(F.col("fp_off") >= 0)
     # eager: the fingerprint kernel output feeds the size pass, the join and
     # the final append — localCheckpoint runs it exactly once
     new_fps = materialize(fingerprints(work, cfg), eager=True)
     cand = incremental_anchored_candidates(new_fps, old_fps, cfg)
     docs = keyed.select("doc_key", "content")
     pairs = verified_substring_pairs(cand, docs, cfg)
-    n_new = new_fps.select("doc_key").distinct().count()
+    n_new = work.select("doc_key").distinct().count()
+    # docs the kernel sampled NO fingerprints from (shorter than the gram,
+    # or every window unsampled) still need a row, or every later call
+    # re-reads and re-hashes their content forever — per-call work would
+    # silently become O(corpus), not O(new docs)
+    sentinels = (
+        work.select("doc_key")
+        .distinct()
+        .join(new_fps.select("doc_key").distinct(), "doc_key", "left_anti")
+        .select(
+            "doc_key",
+            F.lit(0).cast("long").alias("fp_hash"),
+            F.lit(-1).cast("long").alias("fp_off"),
+        )
+    )
     wh.append(
         pairs.withColumn("config_hash", F.lit(cfg_hash)), SUBSTR_TABLE
     )
     wh.append(
-        new_fps.withColumn("config_hash", F.lit(cfg_hash)), FP_TABLE
+        new_fps.unionByName(sentinels).withColumn(
+            "config_hash", F.lit(cfg_hash)
+        ),
+        FP_TABLE,
     )
     wh.record_metrics(
         "stream_substring", cfg_hash,

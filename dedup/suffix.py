@@ -645,15 +645,21 @@ def containment_pairs(
     Two detection regimes (ADVICE r5 — the old query claimed provability
     unconditionally; the bound is now explicit and the gap is closed):
 
-    - DIRECT, for contained sides <= cfg.substring_chunk bytes: any one of
-      the side's sampled grams surviving inside the shared occurrence puts a
+    - DIRECT, for contained sides <= cfg.substring_chunk bytes: an anchor
+      whose container-side offset lands inside the occurrence puts a
       3*chunk verification tile around the whole occurrence, so
       lcs_len == octet_length(side) holds and is SOUND at any length (a
       common substring covering all of A *is* A in B). Direct positives are
-      therefore never false; completeness needs >= 1 surviving gram — a doc
-      whose EVERY sampled gram lands in an over-cap fingerprint bucket
-      (cfg.band_bucket_cap) yields no candidate, the same compensative cap
-      discipline as every bucket join in the engine.
+      therefore never false; completeness needs >= 1 sampled gram of the
+      contained side whose FIRST or LAST occurrence in the container lies
+      inside a true occurrence (fingerprints keep first+last occurrence per
+      (doc, gram) — a gram all of whose container occurrences inside the
+      copy are interior ones anchors the wrong offset and the tile misses;
+      requires every sampled gram to ALSO occur both before and after the
+      copy, e.g. a container built from a shuffle of the side's own grams).
+      A doc whose every sampled gram lands in an over-cap fingerprint
+      bucket (cfg.band_bucket_cap) likewise yields no candidate — the same
+      compensative cap discipline as every bucket join in the engine.
     - ESCALATED, for contained sides > chunk bytes: the occurrence can
       outgrow any anchor tile, saturating lcs_len below the side's length.
       Candidate pairs carrying such a side re-verify with ONE exact

@@ -167,3 +167,26 @@ class TestIVFDiscipline:
             q, c, k=5, n_centroids=4, nprobe=4, sample_rows=200, cell_cap=50
         ).collect()
         assert rows == []
+
+    def test_ivf_nprobe_exceeding_centroid_count_clamps(self, spark, emb):
+        """A tiny candidate table can train FEWER centroids than nprobe; the
+        cell-assignment kernel must clamp instead of crashing the Arrow batch
+        (np.repeat column mismatch), and exhaustive probing over the few
+        trained cells still reproduces brute force."""
+        from dedup.ann import brute_force_topk, ivf_topk
+
+        q = emb.where(F.col("vec_id") < 3)
+        c = emb.where((F.col("vec_id") >= 3) & (F.col("vec_id") < 9))
+        exact = [
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in brute_force_topk(q, c, k=3).collect()
+        ]
+        # 6 candidates, n_centroids=16 -> <=6 trained centroids < nprobe=16
+        approx = [
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in ivf_topk(
+                q, c, k=3, n_centroids=16, nprobe=16, sample_rows=200,
+                cell_cap=1 << 62,
+            ).collect()
+        ]
+        assert sorted(exact) == sorted(approx)

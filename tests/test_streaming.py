@@ -724,7 +724,8 @@ class TestStreamingSubstring:
         corpus = spark.read.parquet(in_dir)
         stream_substring_pairs(spark, wh, CFG, corpus)
         fp_docs_r1 = (
-            wh.read(FP_TABLE).select("doc_key").distinct().count()
+            wh.read(FP_TABLE).where(F.col("fp_off") >= 0)
+            .select("doc_key").distinct().count()
         )
 
         # round 2
@@ -749,17 +750,24 @@ class TestStreamingSubstring:
         )
 
         # work-list proportionality: round 2 fingerprinted only new reps.
-        # Docs shorter than the 64-char gram yield zero fp rows, so the
-        # comparator is the batch kernel's doc set, not the rep count.
+        # Docs shorter than the 64-char gram yield zero fp rows but DO get
+        # a sentinel row (fp_off = -1) so they are never rescanned, so the
+        # stored table covers every rep; real fp rows match the batch
+        # kernel's doc set.
         from dedup.suffix import fingerprints
 
         n_fp_docs_batch = (
             fingerprints(reps, CFG).select("doc_key").distinct().count()
         )
+        stored = wh.read(FP_TABLE)
         fp_docs_r2 = (
-            wh.read(FP_TABLE).select("doc_key").distinct().count()
+            stored.where(F.col("fp_off") >= 0)
+            .select("doc_key").distinct().count()
         )
         assert fp_docs_r1 < fp_docs_r2 == n_fp_docs_batch
+        assert stored.select("doc_key").distinct().count() == reps.count(), (
+            "every rep (including zero-fp docs) must be marked processed"
+        )
 
         # third call with nothing new: no re-fingerprinting, stable pairs
         rows_before = wh.read(FP_TABLE).count()

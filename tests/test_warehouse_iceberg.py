@@ -234,7 +234,10 @@ class TestIcebergStreamSource:
         fake = FakeStreamSpark()
         out = _corpus_stream(fake, "lake.db.corpus", "iceberg")
         assert out == "stream:lake.db.corpus"
-        assert fake.events == [("readStream.table", "lake.db.corpus")]
+        assert fake.events == [
+            ("readStream.option", "streaming-max-files-per-micro-batch=64"),
+            ("readStream.table", "lake.db.corpus"),
+        ]
 
     def test_parquet_uses_file_source_with_schema(self):
         from dedup.streaming import CORPUS_SCHEMA, _corpus_stream
