@@ -615,6 +615,145 @@ def read_stream_substring_pairs(wh: Warehouse, cfg: DedupConfig) -> DataFrame:
     )
 
 
+ASSET_FEAT_TABLE = "stream_asset_features"
+ASSET_PAIR_TABLE = "stream_asset_pairs"
+
+
+def stream_asset_pairs(
+    spark: SparkSession,
+    wh: Warehouse,
+    assets: DataFrame,
+    n_bits: int = 12,
+    seed: int = 42,
+    threshold: float = 0.92,
+    bucket_cap: int = 2000,
+    salts: int = 8,
+) -> DataFrame:
+    """Incremental perceptual asset dedup — the multimodal surface joins the
+    streaming story: decode features ONLY for assets not yet in the
+    accumulated state (the decode kernel is the expensive part — payload
+    bytes never re-cross the Arrow boundary for known assets), bucket the
+    new vectors with the SAME seeded hyperplanes as the batch path, pair
+    new-vs-new plus new-vs-old against the stored (asset_id, bucket,
+    embedding) state under a COMBINED bucket cap, cosine-verify with the
+    identical rounded threshold, and append.
+
+    The state rows are compact (FEATURE_DIM floats + a bucket int per
+    asset) — unlike the substring pass there is NO input-retention contract:
+    old payloads are never re-read, the stored embedding is the verify-side
+    operand. Buckets are persisted WITH the features so no kernel ever
+    reruns over old assets.
+
+    Crash-ordering: pairs append FIRST, features LAST (the commit point);
+    a replay re-pairs the round's assets and dedupes on read
+    (read_stream_asset_pairs), the same at-least-once discipline as every
+    pair table. param_hash gates state reuse exactly like config_hash on
+    the document tables — changing hyperplanes/threshold/cap starts a
+    fresh state lineage instead of mixing geometries.
+
+    Cap semantics match suffix.incremental_anchored_candidates: a bucket is
+    gated on its old+new population at the time its later member arrives,
+    so incremental recall under caps is a superset of batch, never a
+    subset. The new-vs-old equi-join relies on AQE skew splitting for
+    hot-but-eligible buckets (the new-vs-new branch salts via
+    capped_bucket_self_join's discipline folded into the same join shape).
+
+    Returns the ACCUMULATED deduped pair set (asset_a, asset_b, cosine)."""
+    from dedup.ann import _cosine, as_double, hyperplane_buckets
+    from dedup.multimodal import FEATURE_DIM, extract_features
+
+    params = f"hp{n_bits}:s{seed}:t{threshold}:c{bucket_cap}"
+    t0 = time.time()
+    work = assets
+    old_state = None
+    if wh.exists(ASSET_FEAT_TABLE):
+        stored = (
+            wh.read(ASSET_FEAT_TABLE)
+            .where(F.col("param_hash") == params)
+            .select("asset_id", "bucket", "embedding")
+            .dropDuplicates(["asset_id"])
+        )
+        work = assets.join(
+            stored.select("asset_id"), "asset_id", "left_anti"
+        )
+        old_state = stored
+    new_feats = materialize(
+        extract_features(work).select("asset_id", "embedding"), eager=True
+    )
+    new_state = new_feats.join(
+        hyperplane_buckets(new_feats, n_bits=n_bits, dim=FEATURE_DIM,
+                           seed=seed, id_col="asset_id"),
+        "asset_id",
+    )
+    new_f = new_state.select(
+        "asset_id", "bucket", as_double(F.col("embedding")).alias("v")
+    )
+    if old_state is None:
+        both = new_f.withColumn("is_new", F.lit(True))
+    else:
+        old_f = old_state.select(
+            "asset_id", "bucket", as_double(F.col("embedding")).alias("v")
+        )
+        both = new_f.withColumn("is_new", F.lit(True)).unionByName(
+            old_f.withColumn("is_new", F.lit(False))
+        )
+    sz = both.groupBy("bucket").agg(F.count("*").alias("sz"))
+    eligible = sz.where(
+        (F.col("sz") >= 2) & (F.col("sz") <= bucket_cap)
+    ).select("bucket")
+    gated_new = new_f.join(eligible, "bucket")
+    gated_all = both.join(eligible, "bucket")
+    a_first = F.col("a.asset_id") < F.col("b.asset_id")
+    raw = (
+        gated_new.alias("a")
+        .join(
+            gated_all.alias("b"),
+            on=[
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.when(F.col("b.is_new"), a_first).otherwise(
+                    F.col("a.asset_id") != F.col("b.asset_id")
+                ),
+            ],
+        )
+        .select(
+            F.least("a.asset_id", "b.asset_id").alias("asset_a"),
+            F.greatest("a.asset_id", "b.asset_id").alias("asset_b"),
+            F.round(_cosine(F.col("a.v"), F.col("b.v")), 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .dropDuplicates(["asset_a", "asset_b"])
+    )
+    n_new = new_feats.select("asset_id").distinct().count()
+    wh.append(raw.withColumn("param_hash", F.lit(params)), ASSET_PAIR_TABLE)
+    wh.append(
+        new_state.withColumn("param_hash", F.lit(params)), ASSET_FEAT_TABLE
+    )
+    wh.record_metrics(
+        "stream_assets", params, int((time.time() - t0) * 1000), rows_in=n_new,
+    )
+    return read_stream_asset_pairs(wh, n_bits=n_bits, seed=seed,
+                                   threshold=threshold, bucket_cap=bucket_cap)
+
+
+def read_stream_asset_pairs(
+    wh: Warehouse, n_bits: int = 12, seed: int = 42, threshold: float = 0.92,
+    bucket_cap: int = 2000,
+) -> DataFrame:
+    """Accumulated perceptual pairs, deduped on read (replays re-emit
+    identical rows — the cosine is deterministic)."""
+    params = f"hp{n_bits}:s{seed}:t{threshold}:c{bucket_cap}"
+    if not wh.exists(ASSET_PAIR_TABLE):
+        return wh.spark.createDataFrame(
+            [], "asset_a string, asset_b string, cosine double"
+        )
+    return (
+        wh.read(ASSET_PAIR_TABLE)
+        .where(F.col("param_hash") == params)
+        .select("asset_a", "asset_b", "cosine")
+        .dropDuplicates(["asset_a", "asset_b"])
+    )
+
+
 def streaming_lang_counts(
     spark: SparkSession, input_dir: str, checkpoint_dir: str, out_dir: str
 ) -> None:

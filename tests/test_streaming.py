@@ -777,3 +777,73 @@ class TestStreamingSubstring:
         assert sha_pairs(
             read_stream_substring_pairs(wh, CFG).collect(), sha_of
         ) == want
+
+
+class TestStreamingAssets:
+    def test_incremental_asset_pairs_match_batch(self, spark, tmp_path):
+        """Incremental perceptual asset dedup ≡ batch asset_near_dups across
+        two arrival rounds; only new assets cross the decode kernel, and a
+        no-new-assets call appends nothing."""
+        from dedup.multimodal import asset_near_dups, assets_from_documents
+        from dedup.streaming import (
+            ASSET_FEAT_TABLE,
+            read_stream_asset_pairs,
+            stream_asset_pairs,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(120)
+        assets = assets_from_documents(docs)
+        copies = assets_from_documents(docs.where(F.col("doc_id") < 15)).withColumn(
+            "asset_id", F.concat(F.lit("copy-"), F.col("asset_id"))
+        )
+        combined = assets.unionByName(copies)
+        wh = Warehouse(spark, str(tmp_path / "wh_assets"))
+
+        batch1 = combined.where(F.col("asset_id") < "asset000060")
+        stream_asset_pairs(spark, wh, batch1)
+        n_feat_r1 = wh.read(ASSET_FEAT_TABLE).count()
+        assert n_feat_r1 == batch1.count(), "round 1 must decode every asset"
+
+        got_df = stream_asset_pairs(spark, wh, combined)
+        # round 2 decoded ONLY the new assets
+        assert (
+            wh.read(ASSET_FEAT_TABLE).count() == combined.count()
+        )
+
+        def key(rows):
+            return {(r["asset_a"], r["asset_b"], r["cosine"]) for r in rows}
+
+        want = key(asset_near_dups(combined).collect())
+        got = key(got_df.collect())
+        assert got == want, (
+            f"incremental asset pairs diverge: extra={got - want}, "
+            f"missing={want - got}"
+        )
+
+        # idempotent third call: nothing new decoded, pairs stable
+        feats_before = wh.read(ASSET_FEAT_TABLE).count()
+        again = stream_asset_pairs(spark, wh, combined)
+        assert wh.read(ASSET_FEAT_TABLE).count() == feats_before
+        assert key(again.collect()) == want
+        assert key(read_stream_asset_pairs(wh).collect()) == want
+
+    def test_asset_state_param_hash_isolated(self, spark, tmp_path):
+        """Changing the hyperplane/threshold params starts a fresh state
+        lineage — stored features under other params are not reused."""
+        from dedup.multimodal import assets_from_documents
+        from dedup.streaming import ASSET_FEAT_TABLE, stream_asset_pairs
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).limit(30)
+        assets = assets_from_documents(docs)
+        wh = Warehouse(spark, str(tmp_path / "wh_assets2"))
+        stream_asset_pairs(spark, wh, assets)
+        stream_asset_pairs(spark, wh, assets, n_bits=10)
+        t = wh.read(ASSET_FEAT_TABLE)
+        assert t.select("param_hash").distinct().count() == 2
+        per = {r["param_hash"]: r["n"] for r in
+               t.groupBy("param_hash").agg(F.count("*").alias("n")).collect()}
+        assert all(n == 30 for n in per.values()), per
