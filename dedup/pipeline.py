@@ -195,6 +195,109 @@ def cleaned_corpus_from_present(keyed: DataFrame, clusters: DataFrame
 
 
 # ---------------------------------------------------------------------------
+# repo-level rollup: fork / vendored-copy detection via shared content shas
+# ---------------------------------------------------------------------------
+
+# a sha present in more repos than this is boilerplate (LICENSE, __init__.py,
+# generated lockfiles) — dropped from pair generation and accounted for in
+# repo_shared_content_audit, the same compensative-cap discipline as every
+# bucket join in the engine (lsh.py band buckets, ann.py cells). The cap also
+# bounds the sha self-join fan-out: ≤ cap·(cap−1)/2 pair rows per sha, so no
+# join key can concentrate a partition regardless of how viral a file is.
+REPO_SPREAD_CAP = 256
+
+
+def repo_shared_content(keyed: DataFrame,
+                        cap: int = REPO_SPREAD_CAP) -> DataFrame:
+    """Which repos are forks / copies of each other: per repo pair, the
+    number of distinct content shas both contain, with containment
+    (shared / smaller repo's distinct-sha count) and Jaccard over sha sets.
+
+    Scale shape (10^12 files, ~10^8 repos): everything downstream of the
+    first projection is sha/repo-keyed — content never flows past
+    key_docs (and with ingest-stored shas is never read at all).
+    (repo, sha) distinct and the per-repo totals are map-side-combinable
+    group-bys; the sha spread pass gates the self-join BEFORE any pair
+    buffers exist (count-then-join, the lsh.py two-pass order), and the cap
+    bounds per-key fan-out so the join needs no salting. The final totals
+    joins are repo-keyed equi-joins against one narrow row per repo — AQE
+    broadcasts them when small, SMJ otherwise; pair rows carry two repo ids
+    and three longs, nothing wider.
+
+    The narrow (repo, sha) distinct feeds FOUR consumers (both join sides,
+    the spread pass, the totals) — materialized once so the content scan +
+    sha2 runs once, not per consumer."""
+    ds = materialize(
+        keyed.select("repo", "content_sha").dropDuplicates(
+            ["repo", "content_sha"]
+        )
+    )
+    spread = ds.groupBy("content_sha").agg(F.count("*").alias("n_repos"))
+    eligible = spread.where(
+        (F.col("n_repos") >= 2) & (F.col("n_repos") <= cap)
+    ).select("content_sha")
+    e = ds.join(eligible, "content_sha")
+    pairs = (
+        e.alias("a")
+        .join(e.alias("b"), "content_sha")
+        .where(F.col("a.repo") < F.col("b.repo"))
+        .select(
+            F.col("a.repo").alias("repo_a"), F.col("b.repo").alias("repo_b")
+        )
+    )
+    shared = pairs.groupBy("repo_a", "repo_b").agg(
+        F.count("*").alias("shared_shas")
+    )
+    tot = ds.groupBy("repo").agg(F.count("*").alias("n_shas"))
+    return (
+        shared.join(
+            tot.select(F.col("repo").alias("repo_a"),
+                       F.col("n_shas").alias("n_a")),
+            "repo_a",
+        )
+        .join(
+            tot.select(F.col("repo").alias("repo_b"),
+                       F.col("n_shas").alias("n_b")),
+            "repo_b",
+        )
+        .select(
+            "repo_a", "repo_b", "shared_shas", "n_a", "n_b",
+            F.round(
+                F.col("shared_shas") / F.least("n_a", "n_b"), 6
+            ).alias("containment"),
+            F.round(
+                F.col("shared_shas")
+                / (F.col("n_a") + F.col("n_b") - F.col("shared_shas")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def repo_shared_content_audit(keyed: DataFrame,
+                              cap: int = REPO_SPREAD_CAP) -> DataFrame:
+    """Compensative accounting for repo_shared_content's boilerplate cap:
+    every multi-repo sha is either eligible or dropped (n_multi_repo_shas ==
+    n_eligible + n_dropped — the conservation identity the oracle pins), and
+    max_spread shows how hot the hottest sha actually was."""
+    ds = keyed.select("repo", "content_sha").dropDuplicates(
+        ["repo", "content_sha"]
+    )
+    spread = ds.groupBy("content_sha").agg(F.count("*").alias("n_repos"))
+    multi = spread.where(F.col("n_repos") >= 2)
+    return multi.agg(
+        F.count("*").alias("n_multi_repo_shas"),
+        F.coalesce(
+            F.sum((F.col("n_repos") <= cap).cast("long")), F.lit(0)
+        ).alias("n_eligible"),
+        F.coalesce(
+            F.sum((F.col("n_repos") > cap).cast("long")), F.lit(0)
+        ).alias("n_dropped"),
+        F.coalesce(F.max("n_repos"), F.lit(0)).alias("max_spread"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # signature checkpoint: per-partition SignatureBlock sketch rows
 # ---------------------------------------------------------------------------
 

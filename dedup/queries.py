@@ -1593,6 +1593,108 @@ def q_substring_pairs(spark, sf_dir):
     return substring_pairs(keyed, cfg)
 
 
+def _repo_corpus(spark, sf_dir):
+    """documents spread deterministically across 20 synthetic repos, with
+    docs id < 50 re-emitted into a DIFFERENT repo under a copy/ path —
+    guaranteed cross-repo verbatim shares for the repo rollup to find (the
+    planted-copy pattern of q_cluster_sha_containment, shifted by repo)."""
+    base = _docs(spark, sf_dir).select(
+        F.format_string("repo_%02d", F.col("doc_id") % 20).alias("repo"),
+        F.format_string("doc/%012d", "doc_id").alias("path"),
+        F.lit("head").alias("commit"),
+        "lang",
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
+    )
+    copies = _docs(spark, sf_dir).where(F.col("doc_id") < 50).select(
+        F.format_string(
+            "repo_%02d", (F.col("doc_id") + 7) % 20
+        ).alias("repo"),
+        F.format_string("copy/%012d", "doc_id").alias("path"),
+        F.lit("head").alias("commit"),
+        "lang",
+        F.coalesce(F.col("text"), F.lit("")).alias("content"),
+    )
+    return base.unionByName(copies)
+
+
+def q_repo_similarity(spark, sf_dir):
+    """Repo-level fork/copy detection (pipeline.repo_shared_content): per
+    repo pair, distinct shared content shas + containment/Jaccard over sha
+    sets. Deterministic (sha equality, no sketch seeds), so DuckDB
+    recomputes the full result including the boilerplate cap's BETWEEN
+    gate."""
+    from dedup.pipeline import repo_shared_content
+
+    keyed = key_docs(_repo_corpus(spark, sf_dir))
+    return repo_shared_content(keyed)
+
+
+SQL_REPO_SIMILARITY = """
+WITH corpus AS (
+  SELECT printf('repo_%02d', doc_id % 20) AS repo,
+         sha256(coalesce(text, '')) AS sha
+  FROM documents
+  UNION ALL
+  SELECT printf('repo_%02d', (doc_id + 7) % 20),
+         sha256(coalesce(text, ''))
+  FROM documents WHERE doc_id < 50
+),
+ds AS (SELECT DISTINCT repo, sha FROM corpus),
+spread AS (SELECT sha, count(*) AS n_repos FROM ds GROUP BY 1),
+eligible AS (SELECT sha FROM spread WHERE n_repos BETWEEN 2 AND 256),
+pr AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b
+  FROM ds a
+  JOIN ds b ON a.sha = b.sha AND a.repo < b.repo
+  JOIN eligible e ON a.sha = e.sha
+),
+shared AS (
+  SELECT repo_a, repo_b, CAST(count(*) AS BIGINT) AS shared_shas
+  FROM pr GROUP BY 1, 2
+),
+tot AS (SELECT repo, CAST(count(*) AS BIGINT) AS n_shas FROM ds GROUP BY 1)
+SELECT s.repo_a, s.repo_b, s.shared_shas, ta.n_shas AS n_a, tb.n_shas AS n_b,
+       round(s.shared_shas / least(ta.n_shas, tb.n_shas), 6) AS containment,
+       round(s.shared_shas / (ta.n_shas + tb.n_shas - s.shared_shas), 6)
+         AS jaccard
+FROM shared s
+JOIN tot ta ON s.repo_a = ta.repo
+JOIN tot tb ON s.repo_b = tb.repo
+"""
+
+
+def q_repo_similarity_audit(spark, sf_dir):
+    """Conservation identity for the repo rollup's boilerplate cap: every
+    multi-repo sha is eligible or dropped, none vanish silently."""
+    from dedup.pipeline import repo_shared_content_audit
+
+    keyed = key_docs(_repo_corpus(spark, sf_dir))
+    return repo_shared_content_audit(keyed)
+
+
+SQL_REPO_SIMILARITY_AUDIT = """
+WITH corpus AS (
+  SELECT printf('repo_%02d', doc_id % 20) AS repo,
+         sha256(coalesce(text, '')) AS sha
+  FROM documents
+  UNION ALL
+  SELECT printf('repo_%02d', (doc_id + 7) % 20),
+         sha256(coalesce(text, ''))
+  FROM documents WHERE doc_id < 50
+),
+ds AS (SELECT DISTINCT repo, sha FROM corpus),
+spread AS (SELECT sha, count(*) AS n_repos FROM ds GROUP BY 1),
+multi AS (SELECT n_repos FROM spread WHERE n_repos >= 2)
+SELECT CAST(count(*) AS BIGINT) AS n_multi_repo_shas,
+       CAST(coalesce(sum(CASE WHEN n_repos <= 256 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_eligible,
+       CAST(coalesce(sum(CASE WHEN n_repos > 256 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_dropped,
+       CAST(coalesce(max(n_repos), 0) AS BIGINT) AS max_spread
+FROM multi
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1662,6 +1764,9 @@ QUERIES = {
     "ann_ivf_cell_audit": q_ann_ivf_cell_audit,
     # VERDICT r5 #7: asset-side cleaned output
     "asset_cleaned": q_asset_cleaned,
+    # round 6: repo-level fork/copy rollup over shared content shas
+    "repo_similarity": q_repo_similarity,
+    "repo_similarity_audit": q_repo_similarity_audit,
 }
 
 ORACLES = {
@@ -1707,4 +1812,6 @@ ORACLES = {
     "dedup_audit_identities": SQL_DEDUP_AUDIT_IDENTITIES,
     "ann_ivf_cell_audit": SQL_ANN_IVF_CELL_AUDIT,
     "asset_cleaned": SQL_ASSET_CLEANED,
+    "repo_similarity": SQL_REPO_SIMILARITY,
+    "repo_similarity_audit": SQL_REPO_SIMILARITY_AUDIT,
 }

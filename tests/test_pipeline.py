@@ -376,3 +376,88 @@ class TestCleanedCorpusFromPresent:
              cleaned_corpus_from_present(keyed, clusters)
              .select("doc_key").collect()}
         assert a == b
+
+
+class TestRepoSharedContent:
+    """Repo-level fork/copy rollup (pipeline.repo_shared_content): exact
+    result vs a brute-force python recompute, plus the boilerplate cap's
+    compensative accounting under planted skew."""
+
+    def _corpus(self, spark, rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    dict(repo=r, path=f"f{i}", commit="head", lang="py",
+                         content=c)
+                    for i, (r, c) in enumerate(rows)
+                ]
+            )
+        )
+
+    def test_matches_bruteforce(self, spark):
+        from dedup.pipeline import repo_shared_content
+
+        rng = np.random.default_rng(11)
+        texts = [f"text-{i}" for i in range(12)]
+        rows = [
+            (f"r{rng.integers(0, 6)}", texts[rng.integers(0, len(texts))])
+            for _ in range(80)
+        ]
+        got = {
+            (r["repo_a"], r["repo_b"]): (
+                r["shared_shas"], r["n_a"], r["n_b"],
+                r["containment"], r["jaccard"],
+            )
+            for r in repo_shared_content(
+                key_docs(self._corpus(spark, rows))
+            ).collect()
+        }
+        sets: dict[str, set] = {}
+        for r, c in rows:
+            sets.setdefault(r, set()).add(c)
+        want = {}
+        for a in sets:
+            for b in sets:
+                if a < b and sets[a] & sets[b]:
+                    s, na, nb = len(sets[a] & sets[b]), len(sets[a]), len(sets[b])
+                    want[(a, b)] = (
+                        s, na, nb,
+                        round(s / min(na, nb), 6),
+                        round(s / (na + nb - s), 6),
+                    )
+        assert got == want
+
+    def test_boilerplate_cap_drops_and_audits(self, spark):
+        """One sha planted across 40 repos with cap=16: it contributes NO
+        pairs (40·39/2 = 780 rows would otherwise dwarf the real signal) and
+        the audit's conservation identity accounts for it exactly."""
+        from dedup.pipeline import (
+            repo_shared_content, repo_shared_content_audit,
+        )
+
+        rows = [(f"r{i:02d}", "LICENSE-boilerplate") for i in range(40)]
+        rows += [("r00", "real-shared"), ("r01", "real-shared")]
+        keyed = key_docs(self._corpus(spark, rows))
+        pairs = repo_shared_content(keyed, cap=16).collect()
+        assert {(r["repo_a"], r["repo_b"]) for r in pairs} == {("r00", "r01")}
+        assert pairs[0]["shared_shas"] == 1
+        audit = repo_shared_content_audit(keyed, cap=16).collect()[0]
+        assert audit["n_multi_repo_shas"] == 2
+        assert audit["n_eligible"] == 1
+        assert audit["n_dropped"] == 1
+        assert audit["n_eligible"] + audit["n_dropped"] == audit[
+            "n_multi_repo_shas"
+        ]
+        assert audit["max_spread"] == 40
+
+    def test_empty_and_no_overlap(self, spark):
+        from dedup.pipeline import (
+            repo_shared_content, repo_shared_content_audit,
+        )
+
+        rows = [("r0", "a"), ("r1", "b")]
+        keyed = key_docs(self._corpus(spark, rows))
+        assert repo_shared_content(keyed).count() == 0
+        audit = repo_shared_content_audit(keyed).collect()[0]
+        assert audit["n_multi_repo_shas"] == 0
+        assert audit["max_spread"] == 0

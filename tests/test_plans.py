@@ -150,6 +150,24 @@ class TestPlanInvariants:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
 
+    def test_repo_shared_content_plan_discipline(self, spark):
+        """The repo rollup stays JVM-side end-to-end (sha equality, no
+        kernels), its sha self-join is an equi-join (never cartesian), and
+        content is projected away before the first exchange — only
+        repo/content_sha/count columns may cross a shuffle."""
+        from dedup.pipeline import repo_shared_content
+        from dedup.queries import _repo_corpus, key_docs
+
+        df = repo_shared_content(key_docs(_repo_corpus(spark, SF)))
+        plan = physical_plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "content#" not in line, f"content shuffled: {line}"
+
     def test_ivf_quantizer_sample_no_global_sort(self, spark):
         """VERDICT r5 #5: the quantizer sample is a scan-side hash filter —
         no range partitioner, no exchange, no sort anywhere in its plan
