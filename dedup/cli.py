@@ -53,6 +53,13 @@ def main(argv: list[str] | None = None) -> int:
                     "accumulated state; requires --input to retain ingested "
                     "files, like --write-cleaned). Pairs land in the "
                     "`stream_substring_pairs` / `substring_pairs` table")
+    ap.add_argument("--repo-similarity", action="store_true",
+                    help="also write `repo_similarity` + "
+                    "`repo_similarity_audit` — per-repo-pair shared-sha "
+                    "containment/Jaccard (fork / vendored-copy detection) "
+                    "with the boilerplate-cap conservation audit; reads the "
+                    "corpus like --write-cleaned (stream mode requires "
+                    "--input to retain ingested files)")
     ap.add_argument("--stream-checkpoint", default=None,
                     help="streaming checkpoint dir (default: <output>/_stream_ckpt)")
     ap.add_argument("--checkpoint-dir", default=None,
@@ -129,6 +136,15 @@ def main(argv: list[str] | None = None) -> int:
         else:
             kept = cleaned_corpus(key_docs(df), wh.read("clusters"))
         wh.write(kept, "corpus_cleaned", cfg.config_hash())
+    if args.repo_similarity:
+        from dedup.pipeline import (key_docs, repo_shared_content,
+                                    repo_shared_content_audit)
+
+        keyed = key_docs(read_corpus())
+        wh.write(repo_shared_content(keyed), "repo_similarity",
+                 cfg.config_hash())
+        wh.write(repo_shared_content_audit(keyed), "repo_similarity_audit",
+                 cfg.config_hash())
     n = clusters.count()
     n_clusters = clusters.select("cluster_id").distinct().count()
     print(f"docs={n} clusters={n_clusters} warehouse={args.output}")

@@ -334,6 +334,46 @@ class TestCleanedCorpus:
         clusters = wh.read("clusters")
         assert cleaned.count() == clusters.select("cluster_id").distinct().count()
 
+    def test_cli_repo_similarity_flag(self, spark, tmp_path, monkeypatch):
+        """--repo-similarity lands the fork-detection rollup + its audit in
+        the warehouse, matching a direct repo_shared_content call on the
+        same corpus."""
+        from pyspark.sql import SparkSession
+
+        from dedup.cli import main
+        from dedup.pipeline import repo_shared_content
+        from dedup.warehouse import Warehouse
+
+        monkeypatch.setattr(SparkSession, "stop", lambda self: None)
+        rows = [
+            dict(repo=f"r{i % 3}", path=f"f{i}", commit="head", lang="py",
+                 content=f"shared-{i % 4}")
+            for i in range(24)
+        ]
+        df = spark.createDataFrame(pd.DataFrame(rows))
+        inp = str(tmp_path / "corpus_in")
+        df.write.parquet(inp)
+        out = str(tmp_path / "wh")
+        rc = main([
+            "--input", inp, "--output", out, "--repo-similarity",
+            "--master", "local[4]",
+        ])
+        assert rc == 0
+        wh = Warehouse(spark, out)
+        got = {
+            (r["repo_a"], r["repo_b"], r["shared_shas"])
+            for r in wh.read("repo_similarity").collect()
+        }
+        want = {
+            (r["repo_a"], r["repo_b"], r["shared_shas"])
+            for r in repo_shared_content(key_docs(df)).collect()
+        }
+        assert got == want and got
+        audit = wh.read("repo_similarity_audit").collect()[0]
+        assert audit["n_multi_repo_shas"] == audit["n_eligible"] + audit[
+            "n_dropped"
+        ]
+
 
 class TestCleanedCorpusFromPresent:
     def test_missing_rep_falls_back_to_next_present_member(self, spark):
