@@ -137,14 +137,17 @@ def main(argv: list[str] | None = None) -> int:
             kept = cleaned_corpus(key_docs(df), wh.read("clusters"))
         wh.write(kept, "corpus_cleaned", cfg.config_hash())
     if args.repo_similarity:
-        from dedup.pipeline import (key_docs, repo_shared_content,
+        from dedup.pipeline import (key_docs, repo_sha_sets,
+                                    repo_shared_content,
                                     repo_shared_content_audit)
 
         keyed = key_docs(read_corpus())
-        wh.write(repo_shared_content(keyed), "repo_similarity",
+        # one content scan + sha2 for both tables
+        ds = repo_sha_sets(keyed)
+        wh.write(repo_shared_content(keyed, ds=ds), "repo_similarity",
                  cfg.config_hash())
-        wh.write(repo_shared_content_audit(keyed), "repo_similarity_audit",
-                 cfg.config_hash())
+        wh.write(repo_shared_content_audit(keyed, ds=ds),
+                 "repo_similarity_audit", cfg.config_hash())
     n = clusters.count()
     n_clusters = clusters.select("cluster_id").distinct().count()
     print(f"docs={n} clusters={n_clusters} warehouse={args.output}")

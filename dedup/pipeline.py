@@ -207,31 +207,24 @@ def cleaned_corpus_from_present(keyed: DataFrame, clusters: DataFrame
 REPO_SPREAD_CAP = 256
 
 
-def repo_shared_content(keyed: DataFrame,
-                        cap: int = REPO_SPREAD_CAP) -> DataFrame:
-    """Which repos are forks / copies of each other: per repo pair, the
-    number of distinct content shas both contain, with containment
-    (shared / smaller repo's distinct-sha count) and Jaccard over sha sets.
-
-    Scale shape (10^12 files, ~10^8 repos): everything downstream of the
-    first projection is sha/repo-keyed — content never flows past
-    key_docs (and with ingest-stored shas is never read at all).
-    (repo, sha) distinct and the per-repo totals are map-side-combinable
-    group-bys; the sha spread pass gates the self-join BEFORE any pair
-    buffers exist (count-then-join, the lsh.py two-pass order), and the cap
-    bounds per-key fan-out so the join needs no salting. The final totals
-    joins are repo-keyed equi-joins against one narrow row per repo — AQE
-    broadcasts them when small, SMJ otherwise; pair rows carry two repo ids
-    and three longs, nothing wider.
-
-    The narrow (repo, sha) distinct feeds FOUR consumers (both join sides,
-    the spread pass, the totals) — materialized once so the content scan +
-    sha2 runs once, not per consumer."""
-    ds = materialize(
+def repo_sha_sets(keyed: DataFrame) -> DataFrame:
+    """The narrow (repo, content_sha) distinct both repo-rollup functions
+    consume — materialized once so the content scan + sha2 runs once, not
+    per consumer (repo_shared_content alone fans it out to four subtrees;
+    the CLI adds the audit as a fifth). Callers running both should compute
+    this once and pass it via `ds=`."""
+    return materialize(
         keyed.select("repo", "content_sha").dropDuplicates(
             ["repo", "content_sha"]
         )
     )
+
+
+def _repo_similarity_plan(ds: DataFrame, cap: int) -> DataFrame:
+    """Pure plan construction downstream of the (repo, sha) distinct —
+    split out (unmaterialized) so tests can assert the WHOLE physical plan,
+    including the content→sha projection a localCheckpoint would hide
+    behind a Scan ExistingRDD."""
     spread = ds.groupBy("content_sha").agg(F.count("*").alias("n_repos"))
     eligible = spread.where(
         (F.col("n_repos") >= 2) & (F.col("n_repos") <= cap)
@@ -274,15 +267,41 @@ def repo_shared_content(keyed: DataFrame,
     )
 
 
+def repo_shared_content(keyed: DataFrame, cap: int = REPO_SPREAD_CAP,
+                        ds: DataFrame | None = None) -> DataFrame:
+    """Which repos are forks / copies of each other: per repo pair, the
+    number of distinct content shas both contain, with containment
+    (shared / smaller repo's distinct-sha count) and Jaccard over sha sets.
+
+    Scale shape (10^12 files, ~10^8 repos): everything downstream of the
+    first projection is sha/repo-keyed — content never flows past
+    key_docs (and with ingest-stored shas is never read at all).
+    (repo, sha) distinct and the per-repo totals are map-side-combinable
+    group-bys; the sha spread pass gates the self-join BEFORE any pair
+    buffers exist (count-then-join, the lsh.py two-pass order), and the cap
+    bounds per-key fan-out so the join needs no salting. The final totals
+    joins are repo-keyed equi-joins against one narrow row per repo — AQE
+    broadcasts them when small, SMJ otherwise; pair rows carry two repo ids
+    and three longs, nothing wider.
+
+    `ds`: pass repo_sha_sets(keyed) when also running the audit, so the
+    content scan + sha2 + distinct runs once across both."""
+    return _repo_similarity_plan(ds if ds is not None else
+                                 repo_sha_sets(keyed), cap)
+
+
 def repo_shared_content_audit(keyed: DataFrame,
-                              cap: int = REPO_SPREAD_CAP) -> DataFrame:
+                              cap: int = REPO_SPREAD_CAP,
+                              ds: DataFrame | None = None) -> DataFrame:
     """Compensative accounting for repo_shared_content's boilerplate cap:
     every multi-repo sha is either eligible or dropped (n_multi_repo_shas ==
     n_eligible + n_dropped — the conservation identity the oracle pins), and
-    max_spread shows how hot the hottest sha actually was."""
-    ds = keyed.select("repo", "content_sha").dropDuplicates(
-        ["repo", "content_sha"]
-    )
+    max_spread shows how hot the hottest sha actually was. Share `ds` with
+    repo_shared_content when running both (see repo_sha_sets)."""
+    if ds is None:
+        ds = keyed.select("repo", "content_sha").dropDuplicates(
+            ["repo", "content_sha"]
+        )
     spread = ds.groupBy("content_sha").agg(F.count("*").alias("n_repos"))
     multi = spread.where(F.col("n_repos") >= 2)
     return multi.agg(

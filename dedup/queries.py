@@ -1597,7 +1597,11 @@ def _repo_corpus(spark, sf_dir):
     """documents spread deterministically across 20 synthetic repos, with
     docs id < 50 re-emitted into a DIFFERENT repo under a copy/ path —
     guaranteed cross-repo verbatim shares for the repo rollup to find (the
-    planted-copy pattern of q_cluster_sha_containment, shifted by repo)."""
+    planted-copy pattern of q_cluster_sha_containment, shifted by repo) —
+    plus one BOILERPLATE file planted in every repo (docs id < 20 each
+    contribute one constant-content vendor/LICENSE row; ids 0..19 hit all
+    20 repos exactly once), so with the query cap of 16 the boilerplate
+    gate actually drops something and the oracle observes it."""
     base = _docs(spark, sf_dir).select(
         F.format_string("repo_%02d", F.col("doc_id") % 20).alias("repo"),
         F.format_string("doc/%012d", "doc_id").alias("path"),
@@ -1614,7 +1618,14 @@ def _repo_corpus(spark, sf_dir):
         "lang",
         F.coalesce(F.col("text"), F.lit("")).alias("content"),
     )
-    return base.unionByName(copies)
+    boiler = _docs(spark, sf_dir).where(F.col("doc_id") < 20).select(
+        F.format_string("repo_%02d", F.col("doc_id") % 20).alias("repo"),
+        F.lit("vendor/LICENSE").alias("path"),
+        F.lit("head").alias("commit"),
+        "lang",
+        F.lit("LICENSE: boilerplate planted in every repo").alias("content"),
+    )
+    return base.unionByName(copies).unionByName(boiler)
 
 
 def q_repo_similarity(spark, sf_dir):
@@ -1622,11 +1633,13 @@ def q_repo_similarity(spark, sf_dir):
     repo pair, distinct shared content shas + containment/Jaccard over sha
     sets. Deterministic (sha equality, no sketch seeds), so DuckDB
     recomputes the full result including the boilerplate cap's BETWEEN
-    gate."""
+    gate — cap=16 < the planted LICENSE sha's 20-repo spread, so the gate
+    OBSERVABLY drops it here (the production default REPO_SPREAD_CAP would
+    be indistinguishable from no cap on a 20-repo corpus)."""
     from dedup.pipeline import repo_shared_content
 
     keyed = key_docs(_repo_corpus(spark, sf_dir))
-    return repo_shared_content(keyed)
+    return repo_shared_content(keyed, cap=16)
 
 
 SQL_REPO_SIMILARITY = """
@@ -1638,10 +1651,14 @@ WITH corpus AS (
   SELECT printf('repo_%02d', (doc_id + 7) % 20),
          sha256(coalesce(text, ''))
   FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT printf('repo_%02d', doc_id % 20),
+         sha256('LICENSE: boilerplate planted in every repo')
+  FROM documents WHERE doc_id < 20
 ),
 ds AS (SELECT DISTINCT repo, sha FROM corpus),
 spread AS (SELECT sha, count(*) AS n_repos FROM ds GROUP BY 1),
-eligible AS (SELECT sha FROM spread WHERE n_repos BETWEEN 2 AND 256),
+eligible AS (SELECT sha FROM spread WHERE n_repos BETWEEN 2 AND 16),
 pr AS (
   SELECT a.repo AS repo_a, b.repo AS repo_b
   FROM ds a
@@ -1665,11 +1682,14 @@ JOIN tot tb ON s.repo_b = tb.repo
 
 def q_repo_similarity_audit(spark, sf_dir):
     """Conservation identity for the repo rollup's boilerplate cap: every
-    multi-repo sha is eligible or dropped, none vanish silently."""
+    multi-repo sha is eligible or dropped, none vanish silently. cap=16 as
+    in q_repo_similarity, so the planted 20-repo LICENSE sha lands in
+    n_dropped (≥1) and max_spread (=20) — the gate's effect is pinned, not
+    just its no-op identity."""
     from dedup.pipeline import repo_shared_content_audit
 
     keyed = key_docs(_repo_corpus(spark, sf_dir))
-    return repo_shared_content_audit(keyed)
+    return repo_shared_content_audit(keyed, cap=16)
 
 
 SQL_REPO_SIMILARITY_AUDIT = """
@@ -1681,14 +1701,18 @@ WITH corpus AS (
   SELECT printf('repo_%02d', (doc_id + 7) % 20),
          sha256(coalesce(text, ''))
   FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT printf('repo_%02d', doc_id % 20),
+         sha256('LICENSE: boilerplate planted in every repo')
+  FROM documents WHERE doc_id < 20
 ),
 ds AS (SELECT DISTINCT repo, sha FROM corpus),
 spread AS (SELECT sha, count(*) AS n_repos FROM ds GROUP BY 1),
 multi AS (SELECT n_repos FROM spread WHERE n_repos >= 2)
 SELECT CAST(count(*) AS BIGINT) AS n_multi_repo_shas,
-       CAST(coalesce(sum(CASE WHEN n_repos <= 256 THEN 1 ELSE 0 END), 0)
+       CAST(coalesce(sum(CASE WHEN n_repos <= 16 THEN 1 ELSE 0 END), 0)
             AS BIGINT) AS n_eligible,
-       CAST(coalesce(sum(CASE WHEN n_repos > 256 THEN 1 ELSE 0 END), 0)
+       CAST(coalesce(sum(CASE WHEN n_repos > 16 THEN 1 ELSE 0 END), 0)
             AS BIGINT) AS n_dropped,
        CAST(coalesce(max(n_repos), 0) AS BIGINT) AS max_spread
 FROM multi

@@ -154,12 +154,20 @@ class TestPlanInvariants:
         """The repo rollup stays JVM-side end-to-end (sha equality, no
         kernels), its sha self-join is an equi-join (never cartesian), and
         content is projected away before the first exchange — only
-        repo/content_sha/count columns may cross a shuffle."""
-        from dedup.pipeline import repo_shared_content
+        repo/content_sha/count columns may cross a shuffle. Built on the
+        UNMATERIALIZED plan (_repo_similarity_plan over the raw distinct):
+        repo_shared_content's localCheckpoint would truncate the executed
+        plan at a Scan ExistingRDD, hiding exactly the content-carrying
+        segment these assertions guard."""
+        from dedup.pipeline import _repo_similarity_plan, REPO_SPREAD_CAP
         from dedup.queries import _repo_corpus, key_docs
 
-        df = repo_shared_content(key_docs(_repo_corpus(spark, SF)))
+        ds = key_docs(_repo_corpus(spark, SF)).select(
+            "repo", "content_sha"
+        ).dropDuplicates(["repo", "content_sha"])
+        df = _repo_similarity_plan(ds, REPO_SPREAD_CAP)
         plan = physical_plan(df)
+        assert "Scan ExistingRDD" not in plan, "plan truncated by checkpoint"
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "CartesianProduct" not in plan
