@@ -41,7 +41,7 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
-    failures = 0
+    failures = oks = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -77,7 +77,14 @@ def main() -> int:
             failures += 1
             continue
         print(f"OK    {name}: {len(g)} rows match")
+        oks += 1
     spark.stop()
+    # one unambiguous trailer: Spark progress bars emit \r-glued lines, so
+    # counting OK lines requires tr '\r' '\n' first — this line doesn't
+    run = [n for n in qs if not only or n in only]
+    n_rows_only = len([n for n in run if n not in oracles])
+    print(f"\nSUMMARY: {oks} ok / {failures} fail "
+          f"(+{n_rows_only} rows-only) at {sf_dir}")
     return 1 if failures else 0
 
 
