@@ -1839,3 +1839,12 @@ ORACLES = {
     "repo_similarity": SQL_REPO_SIMILARITY,
     "repo_similarity_audit": SQL_REPO_SIMILARITY_AUDIT,
 }
+
+# The driver snapshots only the FIRST 50 entries of ``queries()`` when it
+# records CORRECTNESS_r{N}. Order the registry so every oracle-backed query
+# (a key present in ORACLES) precedes every rows-only query; within each
+# group the original insertion order is preserved.
+QUERIES = {
+    **{k: v for k, v in QUERIES.items() if k in ORACLES},
+    **{k: v for k, v in QUERIES.items() if k not in ORACLES},
+}
