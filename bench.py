@@ -63,13 +63,33 @@ def main() -> None:
     # (same protocol as BENCH/BASELINE.md's min-of-4, scaled down to keep
     # the per-round bench under ~5 min); both attempts are reported so a
     # residual outlier is visible.
+    def cpu_totals() -> tuple[int, int]:
+        """(total jiffies, steal jiffies) from the /proc/stat cpu line —
+        the hypervisor-steal counter that explains which walls ran into a
+        noisy window (VERDICT r6 #7: per-query steal% makes round-over-
+        round per-query deltas interpretable without a re-run)."""
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()[1:]
+            vals = [int(x) for x in parts]
+            return sum(vals), vals[7] if len(vals) > 7 else 0
+        except OSError:
+            return 0, 0
+
     timings: dict[str, float] = {}
     attempts: dict[str, list[float]] = {}
+    steal_pct: dict[str, list[float]] = {}
     for rep in range(2):
         for name in BENCH_QUERIES:
+            tot0, st0 = cpu_totals()
             t0 = time.time()
             QUERIES[name](spark, sf_dir).count()
             wall = round(time.time() - t0, 3)
+            tot1, st1 = cpu_totals()
+            dt = tot1 - tot0
+            steal_pct.setdefault(name, []).append(
+                round(100.0 * (st1 - st0) / dt, 2) if dt > 0 else -1.0
+            )
             attempts.setdefault(name, []).append(wall)
             timings[name] = min(timings.get(name, wall), wall)
 
@@ -91,6 +111,7 @@ def main() -> None:
                 "protocol": "min-of-2 per query after one untimed "
                             "warm-up rep of every query",
                 "attempts": attempts,
+                "steal_pct_per_attempt": steal_pct,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "host_load_avg": [round(load1, 2), round(load5, 2),
                                   round(load15, 2)],

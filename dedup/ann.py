@@ -22,7 +22,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+from pyspark.sql.types import IntegerType, StructField, StructType
 
 from dedup.session import materialize
 
@@ -234,6 +234,33 @@ def capped_bucket_self_join(f: DataFrame, id_col: str, cap: int,
     return cold_pairs.unionByName(hot_pairs)
 
 
+def vector_near_dup_pairs(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    n_bits: int = 12, dim: int = 64, seed: int = 42,
+    threshold: float = 0.9, bucket_cap: int = DEFAULT_BUCKET_CAP,
+    salts: int = 8,
+) -> DataFrame:
+    """Near-duplicate pairs over a raw embedding table: hyperplane-LSH
+    buckets + capped/salted within-bucket self-join + cosine verify — the
+    multimodal asset_near_dups shape minus the decode (embeddings arrive
+    precomputed). Returns (id_a, id_b, cosine ≥ threshold), deduped.
+    Batch ground truth for the incremental stream_vector_pairs path."""
+    b = hyperplane_buckets(df, n_bits=n_bits, dim=dim, seed=seed,
+                           id_col=id_col, vec_col=vec_col)
+    f = df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("v")
+    ).join(b, id_col)
+    return (
+        capped_bucket_self_join(f, id_col, cap=bucket_cap, salts=salts)
+        .select(
+            "id_a", "id_b",
+            F.round(_cosine(F.col("v_a"), F.col("v_b")), 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def quantizer_sample_plan(candidates: DataFrame, thr: int,
                           id_col: str, vec_col: str) -> DataFrame:
     """Pruned (hash, id, vector) projection filtered by a hash threshold —
@@ -303,7 +330,9 @@ def cell_assignments(df: DataFrame, centroids, nearest: int,
                      id_col: str, vec_col: str) -> DataFrame:
     """(vec_id, cell) rows: each input vector's `nearest` closest centroid
     cells (nearest=1 for candidates, nprobe for queries). Arrow-batched
-    matmul; centroids ride the closure."""
+    matmul; centroids ride the closure. The vec_id column carries the
+    caller's id type (numeric vec ids, string asset ids — anything
+    orderable), mirroring hyperplane_buckets (VERDICT r6 #3)."""
 
     # the trained quantizer can hold FEWER centroids than nprobe (tiny
     # candidate tables, degenerate samples): clamp, or np.repeat below
@@ -326,7 +355,7 @@ def cell_assignments(df: DataFrame, centroids, nearest: int,
             )
 
     cell_schema = StructType(
-        [StructField("vec_id", LongType(), False),
+        [StructField("vec_id", df.schema[id_col].dataType, False),
          StructField("cell", IntegerType(), False)]
     )
     return df.select(F.col(id_col).alias("vec_id"), vec_col).mapInPandas(

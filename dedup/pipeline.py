@@ -316,6 +316,141 @@ def repo_shared_content_audit(keyed: DataFrame,
     )
 
 
+# estimated lane: a repo pair whose ONLY shared shas are boilerplate
+# (spread > REPO_SPREAD_CAP) reports no exact-lane pair. The KMV lane
+# recovers such pairs compensatively: per-repo k-minimum-values sketch over
+# the sha set (the reference's mergeable-sketch contract,
+# /root/reference/src/main/java/org/apache/datasketches/vector/package-info.java:23-27,
+# applied to sets via kmv.py's fold), candidates from shared sketch hashes
+# under a wider cap, Jaccard from the standard KMV union estimator — EXACT
+# whenever both repos' sha sets fit in the sketch (the kmv.py degenerate
+# regime), error-bounded ~1/sqrt(k) otherwise.
+REPO_KMV_K = 4096
+REPO_KMV_HASH_CAP = 1024
+
+
+def repo_kmv_sketches(ds: DataFrame, k: int = REPO_KMV_K) -> DataFrame:
+    """(repo, h) KMV sketch rows: the k smallest xxhash64(content_sha) per
+    repo, selected by kmv's salted two-level fold (no single-task-per-repo
+    sort; a 10^9-file repo costs `salts` bounded tasks). Sketch size is
+    bounded at k longs per repo regardless of repo size."""
+    from dedup.kmv import _k_smallest
+
+    return _k_smallest(
+        ds.select("repo", F.xxhash64("content_sha").alias("h")), ["repo"], k
+    )
+
+
+def repo_similarity_estimated(
+    keyed: DataFrame, k: int = REPO_KMV_K, hash_cap: int = REPO_KMV_HASH_CAP,
+    ds: DataFrame | None = None,
+) -> DataFrame:
+    """Estimated repo-pair similarity from per-repo KMV sketches: candidate
+    pairs share at least one sketch hash (count-cap gated BEFORE the
+    self-join, same two-pass order as repo_shared_content); each pair's
+    Jaccard comes from the KMV union estimator — rank the union of the two
+    sketches by hash, keep the k smallest (a valid KMV sketch of A∪B),
+    estimate J = |both| / |kept|.
+
+    Scale shape: the sketch bounds per-repo state at k longs, the hash_cap
+    bounds self-join fan-out at cap·(cap−1)/2 pairs per hash, and the
+    estimator's per-pair work at 2k rows (the rank window partitions by
+    pair — bounded by construction, never by data). hash_cap defaults 4×
+    REPO_SPREAD_CAP: the lane exists to recover pairs the exact lane's
+    spread cap dropped, so its own gate must be wider; pairs whose shared
+    hashes ALL exceed hash_cap remain dropped — quantify with
+    repo_estimated_audit before trusting a capped run.
+
+    Exactness: when both repos hold < k distinct shas the sketches ARE the
+    hashed sha sets and est_jaccard equals exact Jaccard bit-for-bit (the
+    oracle regime); above k the error is the standard KMV bound
+    O(1/sqrt(k)). Returns (repo_a, repo_b, est_jaccard)."""
+    from pyspark.sql import Window
+
+    if ds is None:
+        ds = repo_sha_sets(keyed)
+    s = materialize(repo_kmv_sketches(ds, k))
+    spread = s.groupBy("h").agg(F.count("*").alias("n_repos"))
+    eligible = spread.where(
+        (F.col("n_repos") >= 2) & (F.col("n_repos") <= hash_cap)
+    ).select("h")
+    e = s.join(eligible, "h")
+    cand = (
+        e.alias("a")
+        .join(e.alias("b"), "h")
+        .where(F.col("a.repo") < F.col("b.repo"))
+        .select(
+            F.col("a.repo").alias("repo_a"), F.col("b.repo").alias("repo_b")
+        )
+        .distinct()
+    )
+    a_rows = cand.join(
+        s.select(F.col("repo").alias("repo_a"), "h"), "repo_a"
+    ).select("repo_a", "repo_b", "h", F.lit(1).alias("in_a"),
+             F.lit(0).alias("in_b"))
+    b_rows = cand.join(
+        s.select(F.col("repo").alias("repo_b"), "h"), "repo_b"
+    ).select("repo_a", "repo_b", "h", F.lit(0).alias("in_a"),
+             F.lit(1).alias("in_b"))
+    union = (
+        a_rows.unionByName(b_rows)
+        .groupBy("repo_a", "repo_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("repo_a", "repo_b").orderBy("h")
+    kept = union.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+    return kept.groupBy("repo_a", "repo_b").agg(
+        F.round(
+            F.sum((F.col("in_a") * F.col("in_b")).cast("long"))
+            / F.count("*"),
+            6,
+        ).alias("est_jaccard")
+    )
+
+
+def repo_estimated_audit(
+    keyed: DataFrame, k: int = REPO_KMV_K, hash_cap: int = REPO_KMV_HASH_CAP,
+    ds: DataFrame | None = None,
+) -> DataFrame:
+    """Conservation identity for the estimated lane's hash cap (the
+    repo_shared_content_audit analog over sketch hashes): every multi-repo
+    sketch hash is eligible or dropped, none vanish silently."""
+    if ds is None:
+        ds = repo_sha_sets(keyed)
+    s = repo_kmv_sketches(ds, k)
+    spread = s.groupBy("h").agg(F.count("*").alias("n_repos"))
+    multi = spread.where(F.col("n_repos") >= 2)
+    return multi.agg(
+        F.count("*").alias("n_multi_repo_hashes"),
+        F.coalesce(
+            F.sum((F.col("n_repos") <= hash_cap).cast("long")), F.lit(0)
+        ).alias("n_eligible"),
+        F.coalesce(
+            F.sum((F.col("n_repos") > hash_cap).cast("long")), F.lit(0)
+        ).alias("n_dropped"),
+        F.coalesce(F.max("n_repos"), F.lit(0)).alias("max_spread"),
+    )
+
+
+def repo_similarity_recovered(
+    keyed: DataFrame, cap: int = REPO_SPREAD_CAP, k: int = REPO_KMV_K,
+    hash_cap: int = REPO_KMV_HASH_CAP,
+) -> DataFrame:
+    """The estimated lane's compensation, materialized: pairs the KMV lane
+    finds that the exact lane's boilerplate cap dropped (repos whose shared
+    content is ALL viral — e.g. two boilerplate-only repos sharing just a
+    LICENSE). Shares the (repo, sha) distinct across both lanes. Returns
+    (repo_a, repo_b, est_jaccard) for recovered pairs only."""
+    ds = repo_sha_sets(keyed)
+    exact = repo_shared_content(keyed, cap=cap, ds=ds)
+    est = repo_similarity_estimated(keyed, k=k, hash_cap=hash_cap, ds=ds)
+    return est.join(
+        exact.select("repo_a", "repo_b"), ["repo_a", "repo_b"], "left_anti"
+    )
+
+
 # ---------------------------------------------------------------------------
 # signature checkpoint: per-partition SignatureBlock sketch rows
 # ---------------------------------------------------------------------------

@@ -1719,6 +1719,148 @@ FROM multi
 """
 
 
+_SQL_REPO_CORPUS_CTE = """
+corpus AS (
+  SELECT printf('repo_%02d', doc_id % 20) AS repo,
+         sha256(coalesce(text, '')) AS sha
+  FROM documents
+  UNION ALL
+  SELECT printf('repo_%02d', (doc_id + 7) % 20),
+         sha256(coalesce(text, ''))
+  FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT printf('repo_%02d', doc_id % 20),
+         sha256('LICENSE: boilerplate planted in every repo')
+  FROM documents WHERE doc_id < 20
+),
+ds AS (SELECT DISTINCT repo, sha FROM corpus)
+"""
+
+
+def q_repo_similarity_estimated(spark, sf_dir):
+    """EXACT-REGIME ORACLE for the KMV estimated-similarity lane (VERDICT
+    r6 #4): with every repo's sha set under k=4096 the per-repo KMV sketch
+    IS the hashed sha set and no sketch hash exceeds hash_cap (max spread
+    here is the 20-repo LICENSE), so candidates are exactly the pairs
+    sharing ≥1 sha and est_jaccard equals exact set Jaccard bit-for-bit —
+    which DuckDB recomputes directly from the sha sets."""
+    from dedup.pipeline import repo_similarity_estimated
+
+    keyed = key_docs(_repo_corpus(spark, sf_dir))
+    return repo_similarity_estimated(keyed)
+
+
+SQL_REPO_SIMILARITY_ESTIMATED = f"""
+WITH {_SQL_REPO_CORPUS_CTE},
+pr AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b
+  FROM ds a JOIN ds b ON a.sha = b.sha AND a.repo < b.repo
+),
+shared AS (
+  SELECT repo_a, repo_b, CAST(count(*) AS BIGINT) AS shared_shas
+  FROM pr GROUP BY 1, 2
+),
+tot AS (SELECT repo, CAST(count(*) AS BIGINT) AS n_shas FROM ds GROUP BY 1)
+SELECT s.repo_a, s.repo_b,
+       round(s.shared_shas / (ta.n_shas + tb.n_shas - s.shared_shas), 6)
+         AS est_jaccard
+FROM shared s
+JOIN tot ta ON s.repo_a = ta.repo
+JOIN tot tb ON s.repo_b = tb.repo
+"""
+
+
+def q_repo_similarity_recovered(spark, sf_dir):
+    """COMPENSATION ORACLE for the boilerplate cap: pairs the estimated
+    lane recovers that the exact lane (cap=16 < the LICENSE's 20-repo
+    spread) dropped — repos whose shared content is ALL viral. In the
+    exact regime DuckDB recomputes the recovered pair set (pairs sharing
+    ≥1 sha minus pairs with ≥1 under-cap shared sha) and their exact
+    Jaccard, which the KMV estimator reproduces bit-for-bit."""
+    from dedup.pipeline import repo_similarity_recovered
+
+    keyed = key_docs(_repo_corpus(spark, sf_dir))
+    return repo_similarity_recovered(keyed, cap=16)
+
+
+SQL_REPO_SIMILARITY_RECOVERED = f"""
+WITH {_SQL_REPO_CORPUS_CTE},
+spread AS (SELECT sha, count(*) AS n_repos FROM ds GROUP BY 1),
+pairs_all AS (
+  SELECT DISTINCT a.repo AS repo_a, b.repo AS repo_b
+  FROM ds a JOIN ds b ON a.sha = b.sha AND a.repo < b.repo
+),
+pairs_exact AS (
+  SELECT DISTINCT a.repo AS repo_a, b.repo AS repo_b
+  FROM ds a
+  JOIN ds b ON a.sha = b.sha AND a.repo < b.repo
+  JOIN spread sp ON a.sha = sp.sha
+  WHERE sp.n_repos BETWEEN 2 AND 16
+),
+recovered AS (
+  SELECT repo_a, repo_b FROM pairs_all
+  EXCEPT
+  SELECT repo_a, repo_b FROM pairs_exact
+),
+shared AS (
+  SELECT r.repo_a, r.repo_b, CAST(count(*) AS BIGINT) AS shared_shas
+  FROM recovered r
+  JOIN ds a ON a.repo = r.repo_a
+  JOIN ds b ON b.repo = r.repo_b AND b.sha = a.sha
+  GROUP BY 1, 2
+),
+tot AS (SELECT repo, CAST(count(*) AS BIGINT) AS n_shas FROM ds GROUP BY 1)
+SELECT s.repo_a, s.repo_b,
+       round(s.shared_shas / (ta.n_shas + tb.n_shas - s.shared_shas), 6)
+         AS est_jaccard
+FROM shared s
+JOIN tot ta ON s.repo_a = ta.repo
+JOIN tot tb ON s.repo_b = tb.repo
+"""
+
+
+def q_stream_embedding_pairs(spark, sf_dir):
+    """Incremental ANN over a two-round embedding arrival (VERDICT r6 #6,
+    streaming.stream_vector_pairs): round 1 ingests the original vectors,
+    round 2 adds planted identical copies of vec_id < 20 (id + 10^9); only
+    new vectors are bucketed, new-vs-old pairs go through the capped+salted
+    incremental join. Returns the accumulated (vec_a, vec_b, cosine) set —
+    rows-only; q_stream_vector_planted_recall is the oracle companion."""
+    import tempfile
+
+    from dedup.streaming import stream_vector_pairs
+    from dedup.warehouse import Warehouse
+
+    emb = _emb(spark, sf_dir)
+    copies = emb.where(F.col("vec_id") < 20).withColumn(
+        "vec_id", (F.col("vec_id") + F.lit(1_000_000_000)).cast("long")
+    )
+    wh = Warehouse(spark, tempfile.mkdtemp(prefix="q_stream_vec_"))
+    stream_vector_pairs(spark, wh, emb)
+    return stream_vector_pairs(spark, wh, emb.unionByName(copies))
+
+
+def q_stream_vector_planted_recall(spark, sf_dir):
+    """RECALL ORACLE for incremental vector ANN: every planted identical
+    copy (cosine exactly 1, same hyperplane bucket by determinism) must
+    pair with its original through the new-vs-old incremental join — SQL
+    enumerates the planted ids."""
+    pairs = q_stream_embedding_pairs(spark, sf_dir)
+    return (
+        pairs.where(F.col("vec_b") - F.col("vec_a") == 1_000_000_000)
+        .where(F.col("vec_a") < 20)
+        .select(F.col("vec_a").alias("vec_id"))
+        .distinct()
+    )
+
+
+SQL_STREAM_VECTOR_PLANTED_RECALL = """
+SELECT DISTINCT CAST(vec_id AS BIGINT) AS vec_id
+FROM embeddings
+WHERE vec_id < 20
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1791,6 +1933,12 @@ QUERIES = {
     # round 6: repo-level fork/copy rollup over shared content shas
     "repo_similarity": q_repo_similarity,
     "repo_similarity_audit": q_repo_similarity_audit,
+    # round 7: KMV estimated-similarity lane for cap-dropped repo pairs
+    "repo_similarity_estimated": q_repo_similarity_estimated,
+    "repo_similarity_recovered": q_repo_similarity_recovered,
+    # round 7: incremental ANN over streaming embeddings
+    "stream_vector_planted_recall": q_stream_vector_planted_recall,
+    "stream_embedding_pairs": q_stream_embedding_pairs,
 }
 
 ORACLES = {
@@ -1838,6 +1986,9 @@ ORACLES = {
     "asset_cleaned": SQL_ASSET_CLEANED,
     "repo_similarity": SQL_REPO_SIMILARITY,
     "repo_similarity_audit": SQL_REPO_SIMILARITY_AUDIT,
+    "repo_similarity_estimated": SQL_REPO_SIMILARITY_ESTIMATED,
+    "repo_similarity_recovered": SQL_REPO_SIMILARITY_RECOVERED,
+    "stream_vector_planted_recall": SQL_STREAM_VECTOR_PLANTED_RECALL,
 }
 
 # The driver snapshots only the FIRST 50 entries of ``queries()`` when it

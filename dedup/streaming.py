@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from dedup.ann import HOT_BUCKET_MIN, _cosine
 from dedup.config import DedupConfig
 from dedup.lsh import candidate_pairs
 from dedup.minhash import compute_bands, with_doc_key
@@ -619,6 +620,74 @@ ASSET_FEAT_TABLE = "stream_asset_features"
 ASSET_PAIR_TABLE = "stream_asset_pairs"
 
 
+def salted_new_vs_all_pairs(
+    new_f: DataFrame,
+    both: DataFrame,
+    bucket_cap: int,
+    salts: int,
+    threshold: float,
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Capped+salted new-vs-(new+stored) bucket join for incremental vector
+    dedup — capped_bucket_self_join's discipline (dedup/ann.py:196) in the
+    asymmetric shape: bucket sizes are counted over the COMBINED old+new
+    population first (members never buffer for over-cap buckets); hot
+    eligible buckets (≥ HOT_BUCKET_MIN) assign the stored+new side one salt
+    by id hash while the new side replicates to all `salts` replicas, so a
+    single hot bucket spans `salts` tasks instead of relying on AQE to
+    split one join key; cold buckets join plain at salt 0. Exactly one
+    replica matches each stored row, so no pair duplicates from salting.
+
+    `new_f` is (id_col, bucket, v); `both` is the same plus `is_new`
+    (new rows pair a<b once, old rows pair against every new id). Returns
+    (id_a, id_b, cosine) with cosine ≥ threshold, deduped; ids keep the
+    caller's type (string asset ids, numeric vec ids)."""
+    sz = both.groupBy("bucket").agg(F.count("*").alias("sz"))
+    eligible = sz.where((F.col("sz") >= 2) & (F.col("sz") <= bucket_cap))
+    hot = F.col("sz") >= HOT_BUCKET_MIN
+    gated_new = (
+        new_f.join(eligible, "bucket")
+        .withColumn(
+            "salt",
+            F.explode(
+                F.when(hot, F.sequence(F.lit(0), F.lit(salts - 1)))
+                .otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .drop("sz")
+    )
+    gated_all = (
+        both.join(eligible, "bucket")
+        .withColumn(
+            "salt",
+            F.when(hot, F.pmod(F.xxhash64(id_col), F.lit(salts)).cast("int"))
+            .otherwise(F.lit(0)),
+        )
+        .drop("sz")
+    )
+    a_first = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    return (
+        gated_new.alias("a")
+        .join(
+            gated_all.alias("b"),
+            on=[
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.salt") == F.col("b.salt"),
+                F.when(F.col("b.is_new"), a_first).otherwise(
+                    F.col(f"a.{id_col}") != F.col(f"b.{id_col}")
+                ),
+            ],
+        )
+        .select(
+            F.least(f"a.{id_col}", f"b.{id_col}").alias("id_a"),
+            F.greatest(f"a.{id_col}", f"b.{id_col}").alias("id_b"),
+            F.round(_cosine(F.col("a.v"), F.col("b.v")), 4).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def stream_asset_pairs(
     spark: SparkSession,
     wh: Warehouse,
@@ -654,12 +723,14 @@ def stream_asset_pairs(
     Cap semantics match suffix.incremental_anchored_candidates: a bucket is
     gated on its old+new population at the time its later member arrives,
     so incremental recall under caps is a superset of batch, never a
-    subset. The new-vs-old equi-join relies on AQE skew splitting for
-    hot-but-eligible buckets (the new-vs-new branch salts via
-    capped_bucket_self_join's discipline folded into the same join shape).
+    subset. Hot-but-eligible buckets follow capped_bucket_self_join's
+    salt discipline (ann.py:196): the stored+new side keeps one salt
+    (pmod of its id hash), the new side replicates across `salts` replicas,
+    so one hot bucket spans `salts` tasks instead of betting on AQE
+    skew-splitting a single join key; cold buckets join plain at salt 0.
 
     Returns the ACCUMULATED deduped pair set (asset_a, asset_b, cosine)."""
-    from dedup.ann import _cosine, as_double, hyperplane_buckets
+    from dedup.ann import as_double, hyperplane_buckets
     from dedup.multimodal import FEATURE_DIM, extract_features
 
     params = f"hp{n_bits}:s{seed}:t{threshold}:c{bucket_cap}"
@@ -697,31 +768,12 @@ def stream_asset_pairs(
         both = new_f.withColumn("is_new", F.lit(True)).unionByName(
             old_f.withColumn("is_new", F.lit(False))
         )
-    sz = both.groupBy("bucket").agg(F.count("*").alias("sz"))
-    eligible = sz.where(
-        (F.col("sz") >= 2) & (F.col("sz") <= bucket_cap)
-    ).select("bucket")
-    gated_new = new_f.join(eligible, "bucket")
-    gated_all = both.join(eligible, "bucket")
-    a_first = F.col("a.asset_id") < F.col("b.asset_id")
-    raw = (
-        gated_new.alias("a")
-        .join(
-            gated_all.alias("b"),
-            on=[
-                F.col("a.bucket") == F.col("b.bucket"),
-                F.when(F.col("b.is_new"), a_first).otherwise(
-                    F.col("a.asset_id") != F.col("b.asset_id")
-                ),
-            ],
-        )
-        .select(
-            F.least("a.asset_id", "b.asset_id").alias("asset_a"),
-            F.greatest("a.asset_id", "b.asset_id").alias("asset_b"),
-            F.round(_cosine(F.col("a.v"), F.col("b.v")), 4).alias("cosine"),
-        )
-        .where(F.col("cosine") >= threshold)
-        .dropDuplicates(["asset_a", "asset_b"])
+    raw = salted_new_vs_all_pairs(
+        new_f, both, bucket_cap, salts, threshold
+    ).select(
+        F.col("id_a").alias("asset_a"),
+        F.col("id_b").alias("asset_b"),
+        "cosine",
     )
     n_new = new_feats.select("asset_id").distinct().count()
     wh.append(raw.withColumn("param_hash", F.lit(params)), ASSET_PAIR_TABLE)
@@ -751,6 +803,111 @@ def read_stream_asset_pairs(
         .where(F.col("param_hash") == params)
         .select("asset_a", "asset_b", "cosine")
         .dropDuplicates(["asset_a", "asset_b"])
+    )
+
+
+VEC_STATE_TABLE = "stream_vector_state"
+VEC_PAIR_TABLE = "stream_vector_pairs"
+
+
+def stream_vector_pairs(
+    spark: SparkSession,
+    wh: Warehouse,
+    vectors: DataFrame,
+    dim: int = 64,
+    n_bits: int = 12,
+    seed: int = 42,
+    threshold: float = 0.9,
+    bucket_cap: int = 2000,
+    salts: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental ANN over streaming embeddings (VERDICT r6 #6) — the
+    stream_asset_pairs shape minus the decode kernel: bucket ONLY vectors
+    not yet in the accumulated state with the SAME seeded hyperplanes as
+    the batch path (ann.vector_near_dup_pairs), join new-vs-(new+stored)
+    through salted_new_vs_all_pairs' count-cap-salt discipline, cosine-
+    verify at the identical rounded threshold, append.
+
+    State rows are (id, bucket, vector) — bounded per vector, param-hash
+    gated exactly like the asset path: changing hyperplanes / threshold /
+    cap starts a fresh lineage instead of mixing geometries. Crash
+    ordering: pairs append FIRST, state LAST (the commit point); a replay
+    re-pairs the round's vectors and dedupes on read. Cap semantics are
+    incremental (a bucket is gated on its old+new population when its later
+    member arrives), so incremental recall under caps is a superset of
+    batch, never a subset.
+
+    Returns the ACCUMULATED deduped pair set (vec_a, vec_b, cosine)."""
+    from dedup.ann import as_double, hyperplane_buckets
+
+    params = f"vhp{n_bits}:d{dim}:s{seed}:t{threshold}:c{bucket_cap}"
+    t0 = time.time()
+    work = vectors
+    old_state = None
+    if wh.exists(VEC_STATE_TABLE):
+        stored = (
+            wh.read(VEC_STATE_TABLE)
+            .where(F.col("param_hash") == params)
+            .select(id_col, "bucket", vec_col)
+            .dropDuplicates([id_col])
+        )
+        work = vectors.join(stored.select(id_col), id_col, "left_anti")
+        old_state = stored
+    new_vecs = materialize(work.select(id_col, vec_col), eager=True)
+    new_state = new_vecs.join(
+        hyperplane_buckets(new_vecs, n_bits=n_bits, dim=dim, seed=seed,
+                           id_col=id_col, vec_col=vec_col),
+        id_col,
+    )
+    new_f = new_state.select(
+        id_col, "bucket", as_double(F.col(vec_col)).alias("v")
+    )
+    if old_state is None:
+        both = new_f.withColumn("is_new", F.lit(True))
+    else:
+        old_f = old_state.select(
+            id_col, "bucket", as_double(F.col(vec_col)).alias("v")
+        )
+        both = new_f.withColumn("is_new", F.lit(True)).unionByName(
+            old_f.withColumn("is_new", F.lit(False))
+        )
+    raw = salted_new_vs_all_pairs(
+        new_f, both, bucket_cap, salts, threshold, id_col=id_col
+    ).select(
+        F.col("id_a").alias("vec_a"), F.col("id_b").alias("vec_b"), "cosine"
+    )
+    n_new = new_vecs.select(id_col).distinct().count()
+    wh.append(raw.withColumn("param_hash", F.lit(params)), VEC_PAIR_TABLE)
+    wh.append(
+        new_state.withColumn("param_hash", F.lit(params)), VEC_STATE_TABLE
+    )
+    wh.record_metrics(
+        "stream_vectors", params, int((time.time() - t0) * 1000), rows_in=n_new,
+    )
+    return read_stream_vector_pairs(
+        wh, dim=dim, n_bits=n_bits, seed=seed, threshold=threshold,
+        bucket_cap=bucket_cap,
+    )
+
+
+def read_stream_vector_pairs(
+    wh: Warehouse, dim: int = 64, n_bits: int = 12, seed: int = 42,
+    threshold: float = 0.9, bucket_cap: int = 2000,
+) -> DataFrame:
+    """Accumulated vector pairs, deduped on read (replays re-emit identical
+    rows — the cosine is deterministic)."""
+    params = f"vhp{n_bits}:d{dim}:s{seed}:t{threshold}:c{bucket_cap}"
+    if not wh.exists(VEC_PAIR_TABLE):
+        return wh.spark.createDataFrame(
+            [], "vec_a bigint, vec_b bigint, cosine double"
+        )
+    return (
+        wh.read(VEC_PAIR_TABLE)
+        .where(F.col("param_hash") == params)
+        .select("vec_a", "vec_b", "cosine")
+        .dropDuplicates(["vec_a", "vec_b"])
     )
 
 

@@ -35,6 +35,19 @@ class TestANN:
         full = ivf_topk(q, c, k=3, n_centroids=8, nprobe=8).collect()
         assert sorted(map(tuple, exact)) == sorted(map(tuple, full))
 
+    def test_ivf_string_ids(self, spark, emb):
+        """VERDICT r6 #3: cell_assignments carries the caller's id type, so
+        IVF serves string-keyed tables (asset ids) exactly like the
+        hyperplane-LSH path; zero-padded ids keep the rank tiebreak order
+        identical to the numeric run, so full-probe == brute force."""
+        sid = F.format_string("asset%06d", "vec_id")
+        q = emb.where(F.col("vec_id") < 5).withColumn("vec_id", sid)
+        c = emb.where(F.col("vec_id") >= 5).withColumn("vec_id", sid)
+        full = ivf_topk(q, c, k=3, n_centroids=8, nprobe=8).collect()
+        assert full and all(isinstance(r["query_id"], str) for r in full)
+        exact = brute_force_topk(q, c, k=3).collect()
+        assert sorted(map(tuple, exact)) == sorted(map(tuple, full))
+
     def test_ivf_quantizer_partition_invariant(self, spark, emb):
         """VERDICT r2 #6: the centroid training sample is a seeded
         hash-ordered draw, so the IVF result (incl. recall at nprobe <

@@ -501,3 +501,95 @@ class TestRepoSharedContent:
         audit = repo_shared_content_audit(keyed).collect()[0]
         assert audit["n_multi_repo_shas"] == 0
         assert audit["max_spread"] == 0
+
+
+class TestRepoSimilarityEstimated:
+    """KMV estimated-similarity lane (VERDICT r6 #4): exact in the
+    small-set regime, error-bounded in the sketch regime, and it recovers
+    pairs the exact lane's boilerplate cap drops."""
+
+    _corpus = TestRepoSharedContent._corpus
+
+    def test_exact_regime_matches_bruteforce(self, spark):
+        """With every repo's sha set under k, est_jaccard equals exact set
+        Jaccard bit-for-bit (the oracle regime)."""
+        from dedup.pipeline import repo_similarity_estimated
+
+        rng = np.random.default_rng(23)
+        texts = [f"text-{i}" for i in range(15)]
+        rows = [
+            (f"r{rng.integers(0, 6)}", texts[rng.integers(0, len(texts))])
+            for _ in range(90)
+        ]
+        got = {
+            (r["repo_a"], r["repo_b"]): r["est_jaccard"]
+            for r in repo_similarity_estimated(
+                key_docs(self._corpus(spark, rows))
+            ).collect()
+        }
+        sets: dict[str, set] = {}
+        for r, c in rows:
+            sets.setdefault(r, set()).add(c)
+        want = {
+            (a, b): round(
+                len(sets[a] & sets[b])
+                / (len(sets[a]) + len(sets[b]) - len(sets[a] & sets[b])),
+                6,
+            )
+            for a in sets
+            for b in sets
+            if a < b and sets[a] & sets[b]
+        }
+        assert got == want
+
+    def test_sketch_regime_bounded_error(self, spark):
+        """k far below the set sizes: the KMV union estimator stays within
+        the standard O(1/sqrt(k)) error band of true Jaccard."""
+        from dedup.pipeline import repo_similarity_estimated
+
+        n, overlap, k = 2000, 1000, 256
+        rows = [("big_a", f"common-{i}") for i in range(overlap)]
+        rows += [("big_a", f"only-a-{i}") for i in range(n - overlap)]
+        rows += [("big_b", f"common-{i}") for i in range(overlap)]
+        rows += [("big_b", f"only-b-{i}") for i in range(n - overlap)]
+        out = repo_similarity_estimated(
+            key_docs(self._corpus(spark, rows)), k=k
+        ).collect()
+        assert len(out) == 1
+        true_j = overlap / (2 * n - overlap)  # 1000/3000
+        assert abs(out[0]["est_jaccard"] - true_j) < 4 / (k ** 0.5), (
+            f"est {out[0]['est_jaccard']} vs true {true_j}"
+        )
+
+    def test_capped_pair_resurfaces(self, spark):
+        """Two repos sharing ONLY a viral sha (spread > exact cap): the
+        exact lane reports no pair; the recovered lane resurfaces it with
+        the exact Jaccard (small sets ⇒ KMV is lossless), and the lane's
+        own audit sees nothing dropped at its wider cap."""
+        from dedup.pipeline import (
+            repo_estimated_audit,
+            repo_shared_content,
+            repo_similarity_recovered,
+        )
+
+        rows = [(f"r{i:02d}", "LICENSE-boilerplate") for i in range(40)]
+        rows += [(f"r{i:02d}", f"unique-{i}") for i in range(40)]
+        rows += [("r00", "real-shared"), ("r01", "real-shared")]
+        keyed = key_docs(self._corpus(spark, rows))
+        exact_pairs = {
+            (r["repo_a"], r["repo_b"])
+            for r in repo_shared_content(keyed, cap=16).collect()
+        }
+        assert exact_pairs == {("r00", "r01")}
+        recovered = {
+            (r["repo_a"], r["repo_b"]): r["est_jaccard"]
+            for r in repo_similarity_recovered(keyed, cap=16).collect()
+        }
+        # every boilerplate-only pair resurfaces; (r00, r01) stays exact-lane
+        assert ("r00", "r01") not in recovered
+        assert len(recovered) == 40 * 39 // 2 - 1
+        # e.g. r02-r03: sets {LICENSE, unique-i} → J = 1/3
+        assert recovered[("r02", "r03")] == round(1 / 3, 6)
+        audit = repo_estimated_audit(keyed).collect()[0]
+        assert audit["n_dropped"] == 0
+        assert audit["max_spread"] == 40

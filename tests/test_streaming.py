@@ -829,6 +829,116 @@ class TestStreamingAssets:
         assert key(again.collect()) == want
         assert key(read_stream_asset_pairs(wh).collect()) == want
 
+    def test_hot_bucket_salted_join(self, spark):
+        """A planted dominant bucket (≥ HOT_BUCKET_MIN combined rows, under
+        the cap) must follow capped_bucket_self_join's salt discipline in
+        the incremental join (VERDICT r6 #2): the stored+new side keeps one
+        id-hash salt, the new side replicates across all salts (plan-fenced
+        explode + pmod), the pair set equals the naive all-pairs expectation
+        exactly, and an over-cap bucket emits nothing."""
+        from itertools import combinations
+
+        from dedup.streaming import salted_new_vs_all_pairs
+
+        def vec(i):
+            # near-identical unit vectors: pairwise cosine ≈ 1 » threshold
+            eps = 1e-4 * i
+            n = (1.0 + eps * eps) ** 0.5
+            return [1.0 / n, eps / n, 0.0, 0.0]
+
+        hot_old = [(f"old{i:03d}", 7, vec(i)) for i in range(60)]
+        hot_new = [(f"new{i:03d}", 7, vec(100 + i)) for i in range(40)]
+        cold_old = [("cold-old0", 3, vec(200))]
+        cold_new = [("cold-new0", 3, vec(201)), ("cold-new1", 3, vec(202))]
+        over_new = [(f"over{i:03d}", 9, vec(300 + i)) for i in range(120)]
+        schema = "asset_id string, bucket int, v array<double>"
+        new_f = spark.createDataFrame(hot_new + cold_new + over_new, schema)
+        old_f = spark.createDataFrame(hot_old + cold_old, schema)
+        both = new_f.withColumn("is_new", F.lit(True)).unionByName(
+            old_f.withColumn("is_new", F.lit(False))
+        )
+
+        out = salted_new_vs_all_pairs(
+            new_f, both, bucket_cap=110, salts=8, threshold=0.92
+        )
+        got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+
+        new_hot = [x[0] for x in hot_new]
+        old_hot = [x[0] for x in hot_old]
+        want = {tuple(sorted(p)) for p in combinations(new_hot, 2)}
+        want |= {tuple(sorted((a, b))) for a in new_hot for b in old_hot}
+        want |= {("cold-new0", "cold-new1")}
+        want |= {
+            tuple(sorted((a, "cold-old0"))) for a in ("cold-new0", "cold-new1")
+        }
+        assert got == want, (
+            f"extra={got - want}, missing={want - got}"
+        )
+
+        # the hot bucket genuinely spreads: stored-side salt takes >1 value
+        n_salts = (
+            both.where(F.col("bucket") == 7)
+            .select(
+                F.pmod(F.xxhash64("asset_id"), F.lit(8)).cast("int").alias("s")
+            )
+            .distinct()
+            .count()
+        )
+        assert n_salts > 1, "planted hot bucket collapsed to one salt"
+
+        plan = out._jdf.queryExecution().executedPlan().toString().lower()
+        assert "explode" in plan, plan  # new side replicates across salts
+        assert "pmod" in plan, plan     # stored side keeps one id-hash salt
+
+    def test_incremental_vector_pairs_match_batch(self, spark, tmp_path):
+        """Incremental ANN over streaming embeddings ≡ batch
+        vector_near_dup_pairs across two arrival rounds (VERDICT r6 #6);
+        only new vectors are bucketed, and a no-new-vectors call appends
+        nothing."""
+        from dedup.ann import vector_near_dup_pairs
+        from dedup.streaming import (
+            VEC_STATE_TABLE,
+            read_stream_vector_pairs,
+            stream_vector_pairs,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).limit(100)
+        copies = emb.where(F.col("vec_id") < 15).withColumn(
+            "vec_id", (F.col("vec_id") + F.lit(1_000_000)).cast("long")
+        )
+        combined = emb.unionByName(copies)
+        wh = Warehouse(spark, str(tmp_path / "wh_vec"))
+
+        batch1 = combined.where(F.col("vec_id") < 50)
+        stream_vector_pairs(spark, wh, batch1)
+        assert wh.read(VEC_STATE_TABLE).count() == batch1.count(), (
+            "round 1 must bucket every vector"
+        )
+
+        got_df = stream_vector_pairs(spark, wh, combined)
+        assert wh.read(VEC_STATE_TABLE).count() == combined.count()
+
+        def key(rows):
+            # batch emits (id_a, id_b, cosine), stream (vec_a, vec_b, cosine)
+            return {(r[0], r[1], r[2]) for r in rows}
+
+        want = key(vector_near_dup_pairs(combined).collect())
+        assert want, "planted identical copies must pair in batch mode"
+        got = key(got_df.collect())
+        assert got == want, (
+            f"incremental vector pairs diverge: extra={got - want}, "
+            f"missing={want - got}"
+        )
+
+        # idempotent third call: nothing new bucketed, pairs stable
+        n_state = wh.read(VEC_STATE_TABLE).count()
+        again = stream_vector_pairs(spark, wh, combined)
+        assert wh.read(VEC_STATE_TABLE).count() == n_state
+        assert key(again.collect()) == want
+        assert key(read_stream_vector_pairs(wh).collect()) == want
+
     def test_asset_state_param_hash_isolated(self, spark, tmp_path):
         """Changing the hyperplane/threshold params starts a fresh state
         lineage — stored features under other params are not reused."""
