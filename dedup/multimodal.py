@@ -290,6 +290,138 @@ def extract_features(assets: DataFrame) -> DataFrame:
     )
 
 
+def synthetic_pgm(doc_id: int, w: int = 128, h: int = 128,
+                  x0: int = 0, y0: int = 0) -> bytes:
+    """Deterministic P5 test image: pixel (x, y) is a Knuth multiplicative
+    hash of (doc_id, absolute y, absolute x), so tiles are pseudo-random
+    (no gradient aliasing between tiles) and a (x0, y0) offset window is
+    pixel-identical to the same region of the full image — planted crops
+    with exact tile parity, generated from ids alone (no external data)."""
+    ys = (np.arange(h, dtype=np.uint64) + np.uint64(y0))[:, None]
+    xs = (np.arange(w, dtype=np.uint64) + np.uint64(x0))[None, :]
+    v = (np.uint64(doc_id) * np.uint64(1000003)
+         + ys * np.uint64(4099) + xs)
+    # splitmix-style avalanche: a bare multiply is linear, so neighbouring
+    # doc_ids would differ by a CONSTANT per pixel and the sign-vs-mean
+    # tile quantizer (shift-invariant by design) would alias their tiles
+    with np.errstate(over="ignore"):
+        v = (v ^ (v >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        v = (v ^ (v >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        v ^= v >> np.uint64(31)
+    px = ((v >> np.uint64(32)) & np.uint64(0xFF)).astype(np.uint8)
+    return b"P5 %d %d 255\n" % (w, h) + px.tobytes()
+
+
+TILE_PX = 32          # origin-anchored square tile side, in pixels
+MAX_TILES = 256       # per-asset tile budget (row-major prefix), bounds state
+
+TILE_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType(), False),
+        StructField("tile_hash", LongType(), False),
+    ]
+)
+
+
+def _tile_hashes(gray: np.ndarray, tile_px: int, max_tiles: int) -> list[int]:
+    """Grayscale image → per-tile 64-bit perceptual hashes over the
+    origin-anchored tile_px grid: each full tile's 8×8 block-mean thumbnail
+    quantized sign-vs-mean (the classic pHash front end per tile). A crop
+    or pad aligned to the grid leaves interior tiles pixel-identical, so
+    their hashes match exactly."""
+    h, w = gray.shape
+    out: list[int] = []
+    for ty in range(h // tile_px):
+        for tx in range(w // tile_px):
+            if len(out) >= max_tiles:
+                return out
+            t = gray[ty * tile_px:(ty + 1) * tile_px,
+                     tx * tile_px:(tx + 1) * tile_px]
+            f = _image_features(t)
+            bits = (f >= f.mean()).astype(np.uint8)
+            out.append(
+                int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
+            )
+    return out
+
+
+def asset_tile_hashes(assets: DataFrame, tile_px: int = TILE_PX,
+                      max_tiles: int = MAX_TILES) -> DataFrame:
+    """(asset_id, tile_hash) rows, distinct per asset — the asset-side
+    analog of the (repo, sha) table: a discrete shared-feature key the
+    containment rollup can equi-join on. Images and ppm-stream videos
+    (temporal-pooled) tile; audio and undecodable payloads emit no tiles
+    (a 1-D containment lane would window RMS energy — out of scope for the
+    coarse pass). Per-asset output is bounded at max_tiles rows."""
+
+    def go(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, hashes = [], []
+            for aid, kind, buf in zip(
+                pdf["asset_id"], pdf["kind"], pdf["payload"]
+            ):
+                buf = bytes(buf) if buf is not None else b""
+                gray = None
+                try:
+                    if kind == "image":
+                        gray, _ = _decode_image(buf)
+                    elif kind == "video":
+                        gray, _ = _decode_video(buf)
+                except Exception:
+                    gray = None
+                if gray is None:
+                    continue
+                for th in set(_tile_hashes(gray, tile_px, max_tiles)):
+                    ids.append(aid)
+                    hashes.append(th)
+            yield pd.DataFrame(
+                {"asset_id": pd.Series(ids, dtype=object),
+                 "tile_hash": pd.Series(hashes, dtype=np.int64)}
+            )
+
+    return assets.select("asset_id", "kind", "payload").mapInPandas(
+        go, TILE_SCHEMA
+    )
+
+
+def asset_containment(assets: DataFrame, tile_px: int = TILE_PX,
+                      max_tiles: int = MAX_TILES, min_shared: int = 2,
+                      cap: int = 2000) -> DataFrame:
+    """Sub-image containment pairs (VERDICT r6 #8): a grid-aligned crop or
+    pad of an asset shares its interior tile hashes with the original —
+    the doc_containment analog with tiles for substrings. Reuses the repo
+    rollup's plan verbatim (pipeline._repo_similarity_plan: count-then-join
+    spread gate, capped self-join fan-out ≤ cap·(cap−1)/2 per hash, narrow
+    pair rows): tiles shared across > cap assets are flat/boilerplate
+    regions (black borders, solid fills) and drop compensatively.
+
+    Coarse-pass contract (documented, mirroring the substring pass's
+    sampled anchors): only crops aligned to the origin-anchored tile grid
+    are guaranteed; arbitrary-offset crops need a dense-stride or
+    content-defined tiling. Returns (asset_a, asset_b, shared_tiles, n_a,
+    n_b, containment, jaccard) with shared_tiles ≥ min_shared."""
+    from dedup.pipeline import _repo_similarity_plan
+
+    tiles = materialize(
+        asset_tile_hashes(assets, tile_px, max_tiles).select(
+            F.col("asset_id").alias("repo"),
+            F.col("tile_hash").alias("content_sha"),
+        )
+    )
+    return (
+        _repo_similarity_plan(tiles, cap)
+        .where(F.col("shared_shas") >= min_shared)
+        .select(
+            F.col("repo_a").alias("asset_a"),
+            F.col("repo_b").alias("asset_b"),
+            F.col("shared_shas").alias("shared_tiles"),
+            "n_a", "n_b", "containment", "jaccard",
+        )
+    )
+
+
 def asset_near_dups(assets: DataFrame, n_bits: int = 12, seed: int = 42,
                     threshold: float = 0.92, bucket_cap: int = 2000,
                     salts: int = 8) -> DataFrame:

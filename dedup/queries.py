@@ -1861,6 +1861,65 @@ WHERE vec_id < 20
 """
 
 
+def q_asset_containment_parity(spark, sf_dir):
+    """PLANTED-PARITY ORACLE for the tile-containment lane (VERDICT r6 #8,
+    multimodal.asset_containment): doc_id < 30 each get a deterministic
+    128×128 P5 scene; doc_id < 15 additionally a grid-aligned 64×64 crop
+    at offset (32, 32). Each crop's 4 tiles are pixel-identical to the
+    original's interior tiles, so the (asset, crop-asset) pair must
+    surface with containment exactly 1.0 — SQL enumerates the planted
+    ids."""
+    from dedup.multimodal import asset_containment, synthetic_pgm
+
+    rows = [
+        (f"asset{i:06d}", "image", synthetic_pgm(i)) for i in range(30)
+    ] + [
+        (f"crop-asset{i:06d}", "image",
+         synthetic_pgm(i, w=64, h=64, x0=32, y0=32))
+        for i in range(15)
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id string, kind string, payload binary"
+    )
+    pairs = asset_containment(assets)
+    return (
+        pairs.where(
+            (F.col("asset_b") == F.concat(F.lit("crop-"), F.col("asset_a")))
+            & (F.col("containment") == 1.0)
+        )
+        .select(
+            F.regexp_extract("asset_a", r"(\d+)", 1)
+            .cast("bigint")
+            .alias("doc_id")
+        )
+        .distinct()
+    )
+
+
+SQL_ASSET_CONTAINMENT_PARITY = """
+SELECT CAST(doc_id AS BIGINT) AS doc_id FROM documents WHERE doc_id < 15
+"""
+
+
+def q_asset_containment(spark, sf_dir):
+    """Tile-containment pairs over the synthetic planted scene set — the
+    rows-only companion surfacing the full lane output (shared_tiles,
+    containment, jaccard per pair)."""
+    from dedup.multimodal import asset_containment, synthetic_pgm
+
+    rows = [
+        (f"asset{i:06d}", "image", synthetic_pgm(i)) for i in range(30)
+    ] + [
+        (f"crop-asset{i:06d}", "image",
+         synthetic_pgm(i, w=64, h=64, x0=32, y0=32))
+        for i in range(15)
+    ]
+    assets = spark.createDataFrame(
+        rows, "asset_id string, kind string, payload binary"
+    )
+    return asset_containment(assets)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1938,7 +1997,10 @@ QUERIES = {
     "repo_similarity_recovered": q_repo_similarity_recovered,
     # round 7: incremental ANN over streaming embeddings
     "stream_vector_planted_recall": q_stream_vector_planted_recall,
+    # round 7: sub-image tile containment
+    "asset_containment_parity": q_asset_containment_parity,
     "stream_embedding_pairs": q_stream_embedding_pairs,
+    "asset_containment": q_asset_containment,
 }
 
 ORACLES = {
@@ -1989,6 +2051,7 @@ ORACLES = {
     "repo_similarity_estimated": SQL_REPO_SIMILARITY_ESTIMATED,
     "repo_similarity_recovered": SQL_REPO_SIMILARITY_RECOVERED,
     "stream_vector_planted_recall": SQL_STREAM_VECTOR_PLANTED_RECALL,
+    "asset_containment_parity": SQL_ASSET_CONTAINMENT_PARITY,
 }
 
 # The driver snapshots only the FIRST 50 entries of ``queries()`` when it

@@ -251,3 +251,81 @@ class TestCleanedAssets:
         assert not any(i.startswith("copy-") for i in kept_ids)
         # kept rows are REAL asset rows (payload survives the semi-join)
         assert dict(kept.dtypes)["payload"] == "binary"
+
+
+class TestAssetContainment:
+    """Sub-image tile containment (VERDICT r6 #8): grid-aligned crops and
+    pads share interior tile hashes with the original."""
+
+    def _img(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "asset_id string, kind string, payload binary"
+        )
+
+    def test_planted_crop_resurfaces(self, spark):
+        """A 64x64 crop at tile-aligned offset (32, 32): all 4 of its tiles
+        are pixel-identical to the original's interior tiles, so the pair
+        appears with shared_tiles = 4 and containment exactly 1.0."""
+        from dedup.multimodal import asset_containment, synthetic_pgm
+
+        rows = [(f"a{i:02d}", "image", synthetic_pgm(i)) for i in range(8)]
+        rows += [("crop-a03", "image",
+                  synthetic_pgm(3, w=64, h=64, x0=32, y0=32))]
+        got = {
+            (r["asset_a"], r["asset_b"]):
+                (r["shared_tiles"], r["n_a"], r["n_b"], r["containment"])
+            for r in asset_containment(self._img(spark, rows)).collect()
+        }
+        assert got == {("a03", "crop-a03"): (4, 16, 4, 1.0)}
+
+    def test_planted_pad_resurfaces(self, spark):
+        """Padding bottom-right (origin preserved) keeps every original
+        tile: the padded copy CONTAINS the original."""
+        from dedup.multimodal import asset_containment, synthetic_pgm
+
+        rows = [(f"a{i:02d}", "image", synthetic_pgm(i, w=96, h=96))
+                for i in range(6)]
+        rows += [("pad-a02", "image", synthetic_pgm(2, w=128, h=128))]
+        got = {
+            (r["asset_a"], r["asset_b"]):
+                (r["shared_tiles"], r["n_a"], r["n_b"], r["containment"])
+            for r in asset_containment(self._img(spark, rows)).collect()
+        }
+        # original has 9 tiles (96/32)^2, all inside the 16-tile padded copy
+        assert got == {("a02", "pad-a02"): (9, 9, 16, 1.0)}
+
+    def test_non_images_and_unaligned_emit_sanely(self, spark):
+        """Audio/undecodable payloads emit no tiles; an unaligned crop is a
+        documented miss of the coarse pass (no false pair either)."""
+        from dedup.multimodal import (
+            asset_containment, asset_tile_hashes, synthetic_pgm,
+        )
+
+        rows = [("a00", "image", synthetic_pgm(0)),
+                ("crop-off", "image",
+                 synthetic_pgm(0, w=64, h=64, x0=17, y0=9)),
+                ("noise", "audio", b"not-a-wav"),
+                ("junk", "image", b"P6 bogus")]
+        df = self._img(spark, rows)
+        tiles = asset_tile_hashes(df)
+        assert {r["asset_id"] for r in tiles.collect()} == {"a00", "crop-off"}
+        assert asset_containment(df).count() == 0
+
+    def test_flat_tile_cap_drops_boilerplate(self, spark):
+        """A constant-color tile planted across many assets (black borders,
+        solid fills) is the boilerplate analog: over the spread cap it
+        contributes no pairs."""
+        from dedup.multimodal import asset_containment, synthetic_pgm
+
+        # 24 otherwise-unrelated images, each sharing one all-zero tile
+        def with_black(i):
+            img = bytearray(synthetic_pgm(i))
+            hdr = img.index(b"\n") + 1
+            for y in range(32):
+                start = hdr + y * 128
+                img[start:start + 32] = b"\x00" * 32
+            return bytes(img)
+
+        rows = [(f"b{i:02d}", "image", with_black(i)) for i in range(24)]
+        out = asset_containment(self._img(spark, rows), cap=16)
+        assert out.count() == 0
