@@ -343,7 +343,7 @@ def repo_kmv_sketches(ds: DataFrame, k: int = REPO_KMV_K) -> DataFrame:
 
 def repo_similarity_estimated(
     keyed: DataFrame, k: int = REPO_KMV_K, hash_cap: int = REPO_KMV_HASH_CAP,
-    ds: DataFrame | None = None,
+    ds: DataFrame | None = None, s: DataFrame | None = None,
 ) -> DataFrame:
     """Estimated repo-pair similarity from per-repo KMV sketches: candidate
     pairs share at least one sketch hash (count-cap gated BEFORE the
@@ -361,15 +361,21 @@ def repo_similarity_estimated(
     hashes ALL exceed hash_cap remain dropped — quantify with
     repo_estimated_audit before trusting a capped run.
 
-    Exactness: when both repos hold < k distinct shas the sketches ARE the
-    hashed sha sets and est_jaccard equals exact Jaccard bit-for-bit (the
-    oracle regime); above k the error is the standard KMV bound
-    O(1/sqrt(k)). Returns (repo_a, repo_b, est_jaccard)."""
+    Exactness: when the pair's UNION of distinct shas fits the sketch
+    (|A∪B| ≤ k — stricter than each repo fitting individually: the union
+    rank window truncates to the k smallest hashes of A∪B) the kept set IS
+    the full hashed union and est_jaccard equals exact Jaccard
+    bit-for-bit (the oracle regime); above k the error is the standard
+    KMV bound O(1/sqrt(k)). Returns (repo_a, repo_b, est_jaccard).
+
+    Pass `s=` to share the materialized sketch table with
+    repo_estimated_audit (the ds= discipline one level up)."""
     from pyspark.sql import Window
 
-    if ds is None:
-        ds = repo_sha_sets(keyed)
-    s = materialize(repo_kmv_sketches(ds, k))
+    if s is None:
+        if ds is None:
+            ds = repo_sha_sets(keyed)
+        s = materialize(repo_kmv_sketches(ds, k))
     spread = s.groupBy("h").agg(F.count("*").alias("n_repos"))
     eligible = spread.where(
         (F.col("n_repos") >= 2) & (F.col("n_repos") <= hash_cap)
@@ -412,14 +418,17 @@ def repo_similarity_estimated(
 
 def repo_estimated_audit(
     keyed: DataFrame, k: int = REPO_KMV_K, hash_cap: int = REPO_KMV_HASH_CAP,
-    ds: DataFrame | None = None,
+    ds: DataFrame | None = None, s: DataFrame | None = None,
 ) -> DataFrame:
     """Conservation identity for the estimated lane's hash cap (the
     repo_shared_content_audit analog over sketch hashes): every multi-repo
-    sketch hash is eligible or dropped, none vanish silently."""
-    if ds is None:
-        ds = repo_sha_sets(keyed)
-    s = repo_kmv_sketches(ds, k)
+    sketch hash is eligible or dropped, none vanish silently. Pass `s=`
+    (the materialized sketch table) when also running the lane, so the
+    two-level k-smallest fold over the full (repo, h) table runs once."""
+    if s is None:
+        if ds is None:
+            ds = repo_sha_sets(keyed)
+        s = repo_kmv_sketches(ds, k)
     spread = s.groupBy("h").agg(F.count("*").alias("n_repos"))
     multi = spread.where(F.col("n_repos") >= 2)
     return multi.agg(

@@ -1628,6 +1628,24 @@ def _repo_corpus(spark, sf_dir):
     return base.unionByName(copies).unionByName(boiler)
 
 
+_SQL_REPO_CORPUS_CTE = """
+corpus AS (
+  SELECT printf('repo_%02d', doc_id % 20) AS repo,
+         sha256(coalesce(text, '')) AS sha
+  FROM documents
+  UNION ALL
+  SELECT printf('repo_%02d', (doc_id + 7) % 20),
+         sha256(coalesce(text, ''))
+  FROM documents WHERE doc_id < 50
+  UNION ALL
+  SELECT printf('repo_%02d', doc_id % 20),
+         sha256('LICENSE: boilerplate planted in every repo')
+  FROM documents WHERE doc_id < 20
+),
+ds AS (SELECT DISTINCT repo, sha FROM corpus)
+"""
+
+
 def q_repo_similarity(spark, sf_dir):
     """Repo-level fork/copy detection (pipeline.repo_shared_content): per
     repo pair, distinct shared content shas + containment/Jaccard over sha
@@ -1642,21 +1660,8 @@ def q_repo_similarity(spark, sf_dir):
     return repo_shared_content(keyed, cap=16)
 
 
-SQL_REPO_SIMILARITY = """
-WITH corpus AS (
-  SELECT printf('repo_%02d', doc_id % 20) AS repo,
-         sha256(coalesce(text, '')) AS sha
-  FROM documents
-  UNION ALL
-  SELECT printf('repo_%02d', (doc_id + 7) % 20),
-         sha256(coalesce(text, ''))
-  FROM documents WHERE doc_id < 50
-  UNION ALL
-  SELECT printf('repo_%02d', doc_id % 20),
-         sha256('LICENSE: boilerplate planted in every repo')
-  FROM documents WHERE doc_id < 20
-),
-ds AS (SELECT DISTINCT repo, sha FROM corpus),
+SQL_REPO_SIMILARITY = f"""
+WITH {_SQL_REPO_CORPUS_CTE},
 spread AS (SELECT sha, count(*) AS n_repos FROM ds GROUP BY 1),
 eligible AS (SELECT sha FROM spread WHERE n_repos BETWEEN 2 AND 16),
 pr AS (
@@ -1692,21 +1697,8 @@ def q_repo_similarity_audit(spark, sf_dir):
     return repo_shared_content_audit(keyed, cap=16)
 
 
-SQL_REPO_SIMILARITY_AUDIT = """
-WITH corpus AS (
-  SELECT printf('repo_%02d', doc_id % 20) AS repo,
-         sha256(coalesce(text, '')) AS sha
-  FROM documents
-  UNION ALL
-  SELECT printf('repo_%02d', (doc_id + 7) % 20),
-         sha256(coalesce(text, ''))
-  FROM documents WHERE doc_id < 50
-  UNION ALL
-  SELECT printf('repo_%02d', doc_id % 20),
-         sha256('LICENSE: boilerplate planted in every repo')
-  FROM documents WHERE doc_id < 20
-),
-ds AS (SELECT DISTINCT repo, sha FROM corpus),
+SQL_REPO_SIMILARITY_AUDIT = f"""
+WITH {_SQL_REPO_CORPUS_CTE},
 spread AS (SELECT sha, count(*) AS n_repos FROM ds GROUP BY 1),
 multi AS (SELECT n_repos FROM spread WHERE n_repos >= 2)
 SELECT CAST(count(*) AS BIGINT) AS n_multi_repo_shas,
@@ -1719,35 +1711,27 @@ FROM multi
 """
 
 
-_SQL_REPO_CORPUS_CTE = """
-corpus AS (
-  SELECT printf('repo_%02d', doc_id % 20) AS repo,
-         sha256(coalesce(text, '')) AS sha
-  FROM documents
-  UNION ALL
-  SELECT printf('repo_%02d', (doc_id + 7) % 20),
-         sha256(coalesce(text, ''))
-  FROM documents WHERE doc_id < 50
-  UNION ALL
-  SELECT printf('repo_%02d', doc_id % 20),
-         sha256('LICENSE: boilerplate planted in every repo')
-  FROM documents WHERE doc_id < 20
-),
-ds AS (SELECT DISTINCT repo, sha FROM corpus)
-"""
+# exact-regime k for the two estimated-lane oracles: exactness needs the
+# PAIR UNION under k (|A∪B| ≤ k, stricter than each repo fitting — the
+# union rank window truncates to k). _repo_corpus splits documents over 20
+# repos, so at sf=1 (~60k docs) pairwise unions reach ~6k distinct shas;
+# 16384 keeps the oracle in the exact regime through sf=1 while the engine
+# default stays REPO_KMV_K.
+_ORACLE_KMV_K = 16384
 
 
 def q_repo_similarity_estimated(spark, sf_dir):
     """EXACT-REGIME ORACLE for the KMV estimated-similarity lane (VERDICT
-    r6 #4): with every repo's sha set under k=4096 the per-repo KMV sketch
-    IS the hashed sha set and no sketch hash exceeds hash_cap (max spread
-    here is the 20-repo LICENSE), so candidates are exactly the pairs
-    sharing ≥1 sha and est_jaccard equals exact set Jaccard bit-for-bit —
-    which DuckDB recomputes directly from the sha sets."""
+    r6 #4): with every PAIR's sha-set union under k the kept k-smallest of
+    the two sketches' union IS the full hashed union, and no sketch hash
+    exceeds hash_cap (max spread here is the 20-repo LICENSE), so
+    candidates are exactly the pairs sharing ≥1 sha and est_jaccard equals
+    exact set Jaccard bit-for-bit — which DuckDB recomputes directly from
+    the sha sets."""
     from dedup.pipeline import repo_similarity_estimated
 
     keyed = key_docs(_repo_corpus(spark, sf_dir))
-    return repo_similarity_estimated(keyed)
+    return repo_similarity_estimated(keyed, k=_ORACLE_KMV_K)
 
 
 SQL_REPO_SIMILARITY_ESTIMATED = f"""
@@ -1776,11 +1760,12 @@ def q_repo_similarity_recovered(spark, sf_dir):
     spread) dropped — repos whose shared content is ALL viral. In the
     exact regime DuckDB recomputes the recovered pair set (pairs sharing
     ≥1 sha minus pairs with ≥1 under-cap shared sha) and their exact
-    Jaccard, which the KMV estimator reproduces bit-for-bit."""
+    Jaccard, which the KMV estimator reproduces bit-for-bit (pair unions
+    under _ORACLE_KMV_K through sf=1 — see q_repo_similarity_estimated)."""
     from dedup.pipeline import repo_similarity_recovered
 
     keyed = key_docs(_repo_corpus(spark, sf_dir))
-    return repo_similarity_recovered(keyed, cap=16)
+    return repo_similarity_recovered(keyed, cap=16, k=_ORACLE_KMV_K)
 
 
 SQL_REPO_SIMILARITY_RECOVERED = f"""
@@ -1826,8 +1811,10 @@ def q_stream_embedding_pairs(spark, sf_dir):
     new vectors are bucketed, new-vs-old pairs go through the capped+salted
     incremental join. Returns the accumulated (vec_a, vec_b, cosine) set —
     rows-only; q_stream_vector_planted_recall is the oracle companion."""
+    import shutil
     import tempfile
 
+    from dedup.session import materialize
     from dedup.streaming import stream_vector_pairs
     from dedup.warehouse import Warehouse
 
@@ -1835,9 +1822,19 @@ def q_stream_embedding_pairs(spark, sf_dir):
     copies = emb.where(F.col("vec_id") < 20).withColumn(
         "vec_id", (F.col("vec_id") + F.lit(1_000_000_000)).cast("long")
     )
-    wh = Warehouse(spark, tempfile.mkdtemp(prefix="q_stream_vec_"))
-    stream_vector_pairs(spark, wh, emb)
-    return stream_vector_pairs(spark, wh, emb.unionByName(copies))
+    scratch = tempfile.mkdtemp(prefix="q_stream_vec_")
+    try:
+        wh = Warehouse(spark, scratch)
+        stream_vector_pairs(spark, wh, emb)
+        # materialize (lineage cut) so the scratch warehouse can be removed
+        # before the caller consumes the result — queries must not leak a
+        # parquet directory per invocation
+        return materialize(
+            stream_vector_pairs(spark, wh, emb.unionByName(copies)),
+            eager=True,
+        )
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
 
 
 def q_stream_vector_planted_recall(spark, sf_dir):
@@ -1869,19 +1866,7 @@ def q_asset_containment_parity(spark, sf_dir):
     original's interior tiles, so the (asset, crop-asset) pair must
     surface with containment exactly 1.0 — SQL enumerates the planted
     ids."""
-    from dedup.multimodal import asset_containment, synthetic_pgm
-
-    rows = [
-        (f"asset{i:06d}", "image", synthetic_pgm(i)) for i in range(30)
-    ] + [
-        (f"crop-asset{i:06d}", "image",
-         synthetic_pgm(i, w=64, h=64, x0=32, y0=32))
-        for i in range(15)
-    ]
-    assets = spark.createDataFrame(
-        rows, "asset_id string, kind string, payload binary"
-    )
-    pairs = asset_containment(assets)
+    pairs = q_asset_containment(spark, sf_dir)
     return (
         pairs.where(
             (F.col("asset_b") == F.concat(F.lit("crop-"), F.col("asset_a")))
@@ -2062,3 +2047,17 @@ QUERIES = {
     **{k: v for k, v in QUERIES.items() if k in ORACLES},
     **{k: v for k, v in QUERIES.items() if k not in ORACLES},
 }
+
+# Fail LOUDLY the moment oracle-backed queries outgrow the driver's window —
+# the 51st would silently fall out of the recorded correctness results, the
+# exact truncation the reorder above exists to prevent. When this trips,
+# either the window grew (relax the bound) or the registry needs curating.
+_DRIVER_SNAPSHOT_WINDOW = 50
+assert len(ORACLES) <= _DRIVER_SNAPSHOT_WINDOW, (
+    f"{len(ORACLES)} oracle-backed queries exceed the driver's "
+    f"first-{_DRIVER_SNAPSHOT_WINDOW} correctness snapshot window; the "
+    "overflow would be silently unrecorded"
+)
+assert set(ORACLES) <= set(QUERIES), (
+    f"oracle entries without a queries() entry: {set(ORACLES) - set(QUERIES)}"
+)

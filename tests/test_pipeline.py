@@ -561,6 +561,27 @@ class TestRepoSimilarityEstimated:
             f"est {out[0]['est_jaccard']} vs true {true_j}"
         )
 
+    def test_union_overflow_is_estimated_not_exact(self, spark):
+        """The exactness boundary is the PAIR UNION, not per-repo size:
+        each repo here fits the sketch (48 < k=64) but |A∪B| = 88 > k, so
+        the kept set truncates and the value is an error-bounded estimate
+        — the regime the oracles must stay OUT of (they use
+        _ORACLE_KMV_K=16384 for exactly this reason)."""
+        from dedup.pipeline import repo_similarity_estimated
+
+        k = 64
+        rows = [("u_a", f"common-{i}") for i in range(8)]
+        rows += [("u_a", f"only-a-{i}") for i in range(40)]
+        rows += [("u_b", f"common-{i}") for i in range(8)]
+        rows += [("u_b", f"only-b-{i}") for i in range(40)]
+        out = repo_similarity_estimated(
+            key_docs(self._corpus(spark, rows)), k=k
+        ).collect()
+        assert len(out) == 1
+        true_j = 8 / 88
+        # 3σ of the hypergeometric estimator ≈ 3·sqrt(J(1-J)/k) ≈ 0.11
+        assert abs(out[0]["est_jaccard"] - true_j) <= 0.12, out
+
     def test_capped_pair_resurfaces(self, spark):
         """Two repos sharing ONLY a viral sha (spread > exact cap): the
         exact lane reports no pair; the recovered lane resurfaces it with
