@@ -82,6 +82,7 @@ def candidate_pairs(
     bands_df: DataFrame,
     cfg: DedupConfig,
     salts: int = 8,
+    materialize_bands: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """(pairs, dropped) from band buckets.
 
@@ -106,7 +107,13 @@ def candidate_pairs(
     # shapes (measured 2x on the flagship). localCheckpoint materializes the
     # 24-byte-per-row band table once, without the plan-cache aliasing
     # hazard a persist() inside a library operator would create.
-    bands_df = materialize(bands_df, eager=False)
+    # materialize_bands=False: callers whose band table is already a cheap
+    # JVM explode over materialized/persisted signatures (r8 fused bands —
+    # pipeline.run_dedup, the registry's sig-consumer queries) skip the
+    # extra checkpoint pass; re-deriving bands from the signature store
+    # costs one projection, not a Python kernel re-run.
+    if materialize_bands:
+        bands_df = materialize(bands_df, eager=False)
     sizes = bucket_sizes(bands_df)
     # no persist here: within one action Catalyst reuses the aggregation
     # across the dropped/eligible branches, and persisting inside the

@@ -47,6 +47,14 @@ SIGNATURE_FIELDS = [
 ]
 SIGNATURE_SCHEMA = StructType(SIGNATURE_FIELDS)
 
+# compute_signatures additionally emits the per-doc LSH band hashes (r8):
+# the kernel already holds the stacked signature matrix, so banding there is
+# a few vectorized ops, and compute_bands becomes a JVM posexplode instead
+# of a second Python crossing (one fewer Arrow round trip per consumer).
+SIGNATURE_BANDS_SCHEMA = StructType(
+    SIGNATURE_FIELDS + [StructField("bands", ArrayType(LongType(), False), False)]
+)
+
 
 def with_doc_key(df: DataFrame, key_cols: list[str], content_col: str = "content") -> DataFrame:
     """doc_key = sha2 over NUL-joined identity columns (FIXTURES.md F1),
@@ -100,34 +108,33 @@ def compute_signatures(
     select first so the Arrow transfer never ships anything else (SURVEY §4:
     only `content` reaches the shingler).
 
-    repartition="auto" hash-partitions by doc_key to 4x the cluster's default
-    parallelism before the Python stage. AQE coalesces upstream shuffles to
-    BYTE-sized partitions (advisoryPartitionSizeInBytes), which is right for
-    JVM relational work but wrong for a CPU-bound kernel stage: ~1.4 tasks
-    per core leaves cores idle in the last wave and one oversized coalesced
-    partition pins the stage tail (measured: 23 AQE partitions on 16 cores
-    ran the kernel at 0.57 scaling efficiency; an even 4x-per-core hash
-    repartition runs it at ~0.75+). The one extra content shuffle costs far
-    less than the stragglers it removes; partitioning by doc_key also makes
-    checkpoint block contents deterministic for a fixed partition count.
-    Pass None to keep the upstream partitioning, or an int to force a count.
+    repartition="auto" decides the kernel-stage parallelism from the
+    OPTIMIZER'S input-size estimate (session.kernel_partitions, guide §2:
+    scale-adaptive, derived from input size): a small scan-fed input whose
+    split count would run the CPU-bound kernel nearly serially is hash-
+    repartitioned by doc_key to an even task count; an input that is
+    already wide — a big scan, or anything downstream of a shuffle (AQE's
+    parallelism-first coalescing keeps those at ~defaultParallelism
+    partitions, floored by minPartitionSize) — keeps its partitioning, so
+    the content payload is never shuffled a second time just for task
+    sizing (§8: move heavy bytes once). The r7 formulation probed
+    `src.rdd.getNumPartitions()`, which under AQE eagerly materializes
+    every upstream shuffle stage — ~0.7s of duplicated work per query at
+    bench scale — and then unconditionally re-shuffled content to a fixed
+    4x-parallelism count. Pass None to always keep the upstream
+    partitioning, or an int to force a count.
     """
     cfg_k, cfg_perm, cfg_seed = cfg.shingle_k, cfg.num_perm, cfg.seed
+    cfg_bands, cfg_rows = cfg.bands, cfg.rows_per_band
     src = df.select(
         F.col(key_col).alias("doc_key"),
         F.col(sha_col).alias("content_sha"),
         F.col(content_col).alias("content"),
     )
     if repartition == "auto":
-        target = df.sparkSession.sparkContext.defaultParallelism * 4
-        try:
-            current = src.rdd.getNumPartitions()
-        except Exception:
-            current = 0
-        # skip the shuffle only when the upstream already provides at least
-        # the target task count (its partitioning is then fine-grained
-        # enough that wave quantization doesn't bite)
-        repartition = target if current < target else None
+        from dedup.session import kernel_partitions
+
+        repartition = kernel_partitions(src)
     if repartition:
         src = src.repartition(int(repartition), "doc_key")
 
@@ -139,6 +146,7 @@ def compute_signatures(
             sh, starts, counts, n_distinct = batch_shingles(pdf["content"], cfg_k)
             sig = minhash_from_segments(sh, starts, seeds)
             sim = simhash_from_segments(sh, starts, counts)
+            bh = band_hashes(sig, cfg_bands, cfg_rows, cfg_seed)
             yield pd.DataFrame(
                 {
                     "doc_key": pdf["doc_key"].to_numpy(),
@@ -146,10 +154,11 @@ def compute_signatures(
                     "minhash": list(sig.astype(np.int64)),
                     "simhash": sim.astype(np.int64),
                     "n_shingles": n_distinct.astype(np.int32),
+                    "bands": list(bh.astype(np.int64)),
                 }
             )
 
-    return src.mapInPandas(compute, SIGNATURE_SCHEMA)
+    return src.mapInPandas(compute, SIGNATURE_BANDS_SCHEMA)
 
 
 SKETCH_AGG_SCHEMA = StructType(
@@ -239,8 +248,22 @@ def compute_bands(sig_df: DataFrame, cfg: DedupConfig) -> DataFrame:
     The band hash folds rows_per_band signature components per band
     (sketches.band_hashes) — the analog of the reference's shape-aware
     algorithm choice (§4-2): compare 16 hashes, not 128 components.
+
+    When the signatures carry the precomputed `bands` column
+    (compute_signatures emits it since r8), this is a pure JVM posexplode —
+    no second Python crossing, no Arrow round trip of the 128-long
+    signature arrays. The Python fallback keeps decoded checkpoint tables
+    (SIGNATURE_SCHEMA, no bands column) and hand-built test frames working,
+    bit-identically (same band_hashes kernel either way).
     """
     bands, rows, seed = cfg.bands, cfg.rows_per_band, cfg.seed
+    if "bands" in sig_df.columns:
+        return sig_df.select(
+            "doc_key", F.posexplode("bands").alias("band_id", "band_hash")
+        ).select(
+            "doc_key", F.col("band_id").cast("int").alias("band_id"),
+            "band_hash",
+        )
 
     def to_bands(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -642,8 +642,10 @@ def run_dedup(
             rows_out=sigs.count() if warehouse is not None else None)
 
     t0 = time.time()
+    # sigs is persisted above, so the band explode is a cheap projection per
+    # consumer — no separate band checkpoint needed (r8 fused bands)
     bands = compute_bands(sigs, cfg)
-    pairs, dropped = candidate_pairs(bands, cfg)
+    pairs, dropped = candidate_pairs(bands, cfg, materialize_bands=False)
     if warehouse is not None:
         # compensative accounting: pairs lost to bucket caps are recorded
         # (SURVEY §2.3-5), not silently dropped

@@ -999,7 +999,8 @@ def q_candidate_planted_recall(spark, sf_dir):
     rep_docs, _ = exact_stage(keyed, need_pairs=False)
     rep_docs = signature_input(rep_docs, CFG)
     sigs = materialize(compute_signatures(rep_docs, CFG), eager=False)
-    pairs, _ = candidate_pairs(compute_bands(sigs, CFG), CFG)
+    pairs, _ = candidate_pairs(compute_bands(sigs, CFG), CFG,
+                               materialize_bands=False)
     return _planted_pair_ids(pairs, keyed)
 
 
@@ -1012,7 +1013,8 @@ def q_verified_planted_recall(spark, sf_dir):
     rep_docs, _ = exact_stage(keyed, need_pairs=False)
     rep_docs = signature_input(rep_docs, CFG)
     sigs = materialize(compute_signatures(rep_docs, CFG), eager=False)
-    pairs, _ = candidate_pairs(compute_bands(sigs, CFG), CFG)
+    pairs, _ = candidate_pairs(compute_bands(sigs, CFG), CFG,
+                               materialize_bands=False)
     return _planted_pair_ids(verified_pairs(pairs, sigs, CFG), keyed)
 
 
@@ -1398,7 +1400,8 @@ def q_candidate_pairs(spark, sf_dir):
     rep_docs, _ = exact_stage(keyed, need_pairs=False)
     rep_docs = signature_input(rep_docs, CFG)
     sigs = materialize(compute_signatures(rep_docs, CFG), eager=False)
-    pairs, _ = candidate_pairs(compute_bands(sigs, CFG), CFG)
+    pairs, _ = candidate_pairs(compute_bands(sigs, CFG), CFG,
+                               materialize_bands=False)
     return pairs
 
 
@@ -1408,7 +1411,8 @@ def q_verified_pairs(spark, sf_dir):
     rep_docs, _ = exact_stage(keyed, need_pairs=False)
     rep_docs = signature_input(rep_docs, CFG)
     sigs = materialize(compute_signatures(rep_docs, CFG), eager=False)
-    pairs, _ = candidate_pairs(compute_bands(sigs, CFG), CFG)
+    pairs, _ = candidate_pairs(compute_bands(sigs, CFG), CFG,
+                               materialize_bands=False)
     return verified_pairs(pairs, sigs, CFG)
 
 

@@ -64,6 +64,16 @@ def get_spark(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             os.environ.get("SPARK_ADVISORY_PARTITION_BYTES", "16MB"),
         )
+        # AQE's parallelism-first coalescing targets max(total/parallelism,
+        # minPartitionSize); the default 1MB floor collapses a small-but-CPU-
+        # heavy Python kernel input to a handful of tasks (a sub-MB corpus
+        # runs the shingle kernel on 1 core of 32). A 64k floor keeps those
+        # stages wide; at cluster scale total/parallelism dominates and the
+        # floor is inert. Env-overridable like the other sandbox-scale knobs.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -97,6 +107,53 @@ def materialize(df, eager: bool = False):
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
+
+
+_SIZE_SUFFIXES = {"k": 10, "m": 20, "g": 30, "t": 40}
+
+
+def _parse_bytes(v: str) -> int:
+    """'32MB' / '64k' / '33554432' → bytes (Spark's size-string grammar)."""
+    s = str(v).strip().lower()
+    if s.endswith("b"):
+        s = s[:-1]
+    if s and s[-1] in _SIZE_SUFFIXES:
+        return int(float(s[:-1]) * (1 << _SIZE_SUFFIXES[s[-1]]))
+    return int(float(s))
+
+
+def kernel_partitions(df, task_bytes: int = 64 << 10) -> int | None:
+    """Partition count for a CPU-bound Python kernel stage over `df`, or
+    None when the upstream partitioning should be kept — derived from the
+    OPTIMIZER'S size estimate, so deciding costs no job (the previous
+    `.rdd.getNumPartitions()` probe materialized every upstream AQE stage
+    eagerly: ~0.7s of duplicated shuffle work per query at bench scale).
+
+    Policy (guide §2: scale-adaptive partitioning, derived from input size):
+
+    - est/maxPartitionBytes >= defaultParallelism → None. The scan (or an
+      inflated join/checkpoint estimate, which only occurs downstream of a
+      shuffle) already yields at least one task per core, so an extra
+      repartition would be a second full pass of the payload over the wire
+      for no parallelism gain — the §8 rule: move heavy bytes once.
+    - otherwise → min(4*parallelism, est/task_bytes) even hash partitions:
+      a small input whose scan yields fewer splits than cores would run the
+      CPU-bound kernel nearly serially (1-split regime), and AQE's
+      byte-based coalescing can't see kernel CPU density. The shuffle moved
+      is bounded by parallelism*maxPartitionBytes, i.e. cheap by the same
+      arithmetic that made the scan narrow.
+    """
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        est = int(df._jdf.queryExecution().optimizedPlan().stats()
+                  .sizeInBytes())
+        max_pb = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes"))
+    except Exception:
+        return None
+    if est // max_pb + 1 >= par:
+        return None
+    return max(min(4 * par, est // task_bytes), 1)
 
 
 def _parallelism(master: str) -> int:

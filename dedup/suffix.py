@@ -107,22 +107,43 @@ def fingerprints(df: DataFrame, cfg: DedupConfig,
             if len(sel) == 0:
                 continue
             docs = doc_of[sel]
-            d = pd.DataFrame(
+            hashes = win[sel]
+            offs = sel - offsets[docs]  # doc-relative byte offset
+            # FIRST and LAST occurrence per (doc, hash), fully vectorized:
+            # sel is position-ordered, so within a (doc, hash) group after a
+            # stable (doc, hash) lexsort the first row is the min offset and
+            # the last the max — group boundaries give both in O(n log n)
+            # integer ops. (The r7 pandas drop_duplicates over 64-char
+            # doc_key object strings hashed every row three times and
+            # dominated the kernel wall at sample_p=1.)
+            order = np.lexsort((offs, hashes, docs))
+            dv, hv = docs[order], hashes[order]
+            head = np.empty(len(order), dtype=bool)
+            head[0] = True
+            head[1:] = (dv[1:] != dv[:-1]) | (hv[1:] != hv[:-1])
+            tail = np.empty(len(order), dtype=bool)
+            tail[-1] = True
+            tail[:-1] = head[1:]
+            keep = order[head | (tail & ~head)]
+            yield pd.DataFrame(
                 {
-                    "doc_key": pdf[key_col].to_numpy()[docs],
-                    "fp_hash": win[sel].view(np.int64),
-                    "fp_off": sel - offsets[docs],  # doc-relative byte offset
+                    "doc_key": pdf[key_col].to_numpy()[docs[keep]],
+                    "fp_hash": hashes[keep].view(np.int64),
+                    "fp_off": offs[keep],
                 }
             )
-            keys = ["doc_key", "fp_hash"]
-            yield pd.concat(
-                [
-                    d.drop_duplicates(subset=keys, keep="first"),
-                    d.drop_duplicates(subset=keys, keep="last"),
-                ]
-            ).drop_duplicates()
 
-    return df.select(key_col, content_col).mapInPandas(fp, FP_SCHEMA)
+    from dedup.session import kernel_partitions
+
+    src = df.select(key_col, content_col)
+    # the gram hash + dedup kernel is CPU-bound; a small scan-fed corpus
+    # would otherwise run it on its (few) input splits (guide §2:
+    # scale-adaptive parallelism — at real scale the scan is already wide
+    # and this is a no-op, so content is never re-shuffled there)
+    parts = kernel_partitions(src)
+    if parts:
+        src = src.repartition(parts, key_col)
+    return src.mapInPandas(fp, FP_SCHEMA)
 
 
 def _eligible_fp(fp_df: DataFrame, cfg: DedupConfig) -> DataFrame:

@@ -119,4 +119,13 @@ def fingerprint_docs(
                 }
             )
 
-    return df.select(key_col, content_col).mapInPandas(fp, FINGERPRINT_SCHEMA)
+    from dedup.session import kernel_partitions
+
+    src = df.select(key_col, content_col)
+    # rolling 64-byte windows are CPU-dense per input byte: parallelize a
+    # small scan-fed input to an even task count (no-op once the scan is
+    # already at least core-wide — see session.kernel_partitions)
+    parts = kernel_partitions(src)
+    if parts:
+        src = src.repartition(parts, key_col)
+    return src.mapInPandas(fp, FINGERPRINT_SCHEMA)
