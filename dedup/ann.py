@@ -22,7 +22,13 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, StructField, StructType
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
 
 from dedup.session import materialize
 
@@ -77,16 +83,26 @@ def brute_force_topk(
 def hyperplane_buckets(
     df: DataFrame, n_bits: int = 12, dim: int = 64, seed: int = 42,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    carry_vec: bool = False,
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign-bit pattern of n_bits projections.
     Output keeps the caller's id column name and type (numeric vec ids,
-    string asset ids — anything orderable)."""
-    schema = StructType(
-        [
-            StructField(id_col, df.schema[id_col].dataType, False),
-            StructField("bucket", IntegerType(), False),
-        ]
-    )
+    string asset ids — anything orderable).
+
+    carry_vec=True additionally emits the double-cast vector as `v`
+    (bit-identical to ann.as_double: float32→float64 widening is exact), so
+    join-side callers get (id, bucket, v) straight from the kernel instead
+    of re-attaching vectors with an id equi-join — at 10^9 vectors that
+    join shuffles the whole payload table by id just to recover a column
+    the kernel already held (guide §8: re-attachment must not sneak the
+    payload shuffle back in)."""
+    fields = [
+        StructField(id_col, df.schema[id_col].dataType, False),
+        StructField("bucket", IntegerType(), False),
+    ]
+    if carry_vec:
+        fields.append(StructField("v", ArrayType(DoubleType(), False), False))
+    schema = StructType(fields)
 
     def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rng = np.random.default_rng(seed)
@@ -98,12 +114,13 @@ def hyperplane_buckets(
             proj = m @ planes  # (n, n_bits)
             bits = (proj > 0).astype(np.int64)
             bucket = (bits << np.arange(n_bits)[None, :]).sum(axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "bucket": bucket.astype(np.int32),
-                }
-            )
+            out = {
+                id_col: pdf[id_col].to_numpy(),
+                "bucket": bucket.astype(np.int32),
+            }
+            if carry_vec:
+                out["v"] = list(m)
+            yield pd.DataFrame(out)
 
     return df.select(F.col(id_col).alias(id_col), vec_col).mapInPandas(
         bucketize, schema
@@ -245,11 +262,10 @@ def vector_near_dup_pairs(
     multimodal asset_near_dups shape minus the decode (embeddings arrive
     precomputed). Returns (id_a, id_b, cosine ≥ threshold), deduped.
     Batch ground truth for the incremental stream_vector_pairs path."""
-    b = hyperplane_buckets(df, n_bits=n_bits, dim=dim, seed=seed,
-                           id_col=id_col, vec_col=vec_col)
-    f = df.select(
-        F.col(id_col), as_double(F.col(vec_col)).alias("v")
-    ).join(b, id_col)
+    # carry_vec: (id, bucket, v) straight from the kernel — no id re-attach
+    # join (which at scale shuffles the vector payload a second time)
+    f = hyperplane_buckets(df, n_bits=n_bits, dim=dim, seed=seed,
+                           id_col=id_col, vec_col=vec_col, carry_vec=True)
     return (
         capped_bucket_self_join(f, id_col, cap=bucket_cap, salts=salts)
         .select(
@@ -327,12 +343,17 @@ def train_quantizer(candidates: DataFrame, n_centroids: int, seed: int,
 
 
 def cell_assignments(df: DataFrame, centroids, nearest: int,
-                     id_col: str, vec_col: str) -> DataFrame:
+                     id_col: str, vec_col: str,
+                     carry_vec: bool = False) -> DataFrame:
     """(vec_id, cell) rows: each input vector's `nearest` closest centroid
     cells (nearest=1 for candidates, nprobe for queries). Arrow-batched
     matmul; centroids ride the closure. The vec_id column carries the
     caller's id type (numeric vec ids, string asset ids — anything
-    orderable), mirroring hyperplane_buckets (VERDICT r6 #3)."""
+    orderable), mirroring hyperplane_buckets (VERDICT r6 #3).
+
+    carry_vec=True emits the double-cast UNnormalized vector as `v` (see
+    hyperplane_buckets: saves the id re-attach join that would shuffle the
+    vector payload at scale)."""
 
     # the trained quantizer can hold FEWER centroids than nprobe (tiny
     # candidate tables, degenerate samples): clamp, or np.repeat below
@@ -344,20 +365,23 @@ def cell_assignments(df: DataFrame, centroids, nearest: int,
             if len(pdf) == 0:
                 continue
             m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            raw = m.copy() if carry_vec else None
             m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
             sims = m @ centroids.T
             top = np.argsort(-sims, axis=1)[:, :n_take]
-            yield pd.DataFrame(
-                {
-                    "vec_id": np.repeat(pdf[id_col].to_numpy(), n_take),
-                    "cell": top.reshape(-1).astype(np.int32),
-                }
-            )
+            out = {
+                "vec_id": np.repeat(pdf[id_col].to_numpy(), n_take),
+                "cell": top.reshape(-1).astype(np.int32),
+            }
+            if carry_vec:
+                out["v"] = list(np.repeat(raw, n_take, axis=0))
+            yield pd.DataFrame(out)
 
-    cell_schema = StructType(
-        [StructField("vec_id", df.schema[id_col].dataType, False),
-         StructField("cell", IntegerType(), False)]
-    )
+    fields = [StructField("vec_id", df.schema[id_col].dataType, False),
+              StructField("cell", IntegerType(), False)]
+    if carry_vec:
+        fields.append(StructField("v", ArrayType(DoubleType(), False), False))
+    cell_schema = StructType(fields)
     return df.select(F.col(id_col).alias("vec_id"), vec_col).mapInPandas(
         go, cell_schema
     )
@@ -406,14 +430,21 @@ def ivf_topk(
     ivf_cell_audit before trusting a capped run."""
     centroids = train_quantizer(candidates, n_centroids, seed, sample_rows,
                                 id_col, vec_col)
-    c_cells = cell_assignments(candidates, centroids, 1, id_col, vec_col)
-    q_cells = cell_assignments(queries, centroids, nprobe, id_col, vec_col)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).join(q_cells.withColumnRenamed("vec_id", "query_id"), "query_id")
-    c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    ).join(c_cells.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    # carry_vec: the cell kernel emits the vector alongside the assignment,
+    # so neither side pays an id re-attach join (a full payload shuffle at
+    # scale — guide §8)
+    q = (
+        cell_assignments(queries, centroids, nprobe, id_col, vec_col,
+                         carry_vec=True)
+        .withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("v", "qv")
+    )
+    c = (
+        cell_assignments(candidates, centroids, 1, id_col, vec_col,
+                         carry_vec=True)
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("v", "cv")
+    )
     scored = _salted_probe_join(
         q.withColumnRenamed("cell", "bucket"),
         c.withColumnRenamed("cell", "bucket"),
@@ -443,8 +474,12 @@ def lsh_topk(
     discipline (VERDICT r2 #1): candidate buckets over `bucket_cap` are
     dropped (quantify via vector_lsh_audit), hot buckets are salted so a
     dense embedding region can't pin one task."""
-    qb = hyperplane_buckets(queries, n_bits, dim, seed, id_col, vec_col)
-    cb = hyperplane_buckets(candidates, n_bits, dim, seed, id_col, vec_col)
+    # carry_vec: bucket + vector from one kernel pass per side — no id
+    # re-attach joins (full payload shuffles at scale — guide §8)
+    qb = hyperplane_buckets(queries, n_bits, dim, seed, id_col, vec_col,
+                            carry_vec=True)
+    cb = hyperplane_buckets(candidates, n_bits, dim, seed, id_col, vec_col,
+                            carry_vec=True)
     if multiprobe:
         # probe the bucket plus all Hamming-1 neighbors of the query's bucket
         probes = F.array(
@@ -455,12 +490,8 @@ def lsh_topk(
             ],
         )
         qb = qb.withColumn("bucket", F.explode(probes))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("qv")
-    ).join(qb.withColumnRenamed(id_col, "query_id"), "query_id")
-    c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), as_double(F.col(vec_col)).alias("cv")
-    ).join(cb.withColumnRenamed(id_col, "neighbor_id"), "neighbor_id")
+    q = qb.withColumnRenamed(id_col, "query_id").withColumnRenamed("v", "qv")
+    c = cb.withColumnRenamed(id_col, "neighbor_id").withColumnRenamed("v", "cv")
     scored = (
         _salted_probe_join(q, c, bucket_cap, salts)
         .dropDuplicates(["query_id", "neighbor_id"])

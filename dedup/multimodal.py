@@ -435,20 +435,19 @@ def asset_near_dups(assets: DataFrame, n_bits: int = 12, seed: int = 42,
     buffered, hot-but-eligible buckets salted across `salts` tasks — a stub
     decoder mapping many payloads near one another (or a dense perceptual
     region: logo watermarks, silence) can't turn one bucket quadratic."""
-    from dedup.ann import _cosine, as_double, capped_bucket_self_join, hyperplane_buckets
+    from dedup.ann import _cosine, capped_bucket_self_join, hyperplane_buckets
 
-    # decode once: the feature table feeds both the bucketizer and the
-    # vector join; without materialization every branch of the capped
-    # self-join would re-run the payload decode kernel (measured 24
-    # MapInPandas instances in the physical plan at sf0.001)
-    feats = materialize(
-        extract_features(assets).select("asset_id", "embedding"), eager=False
+    # decode → bucketize is one chained kernel pass; carry_vec emits
+    # (asset_id, bucket, v) directly so no id re-attach join is needed, and
+    # the single downstream materialization (inside capped_bucket_self_join)
+    # keeps the decode to one execution across all join branches (the r7
+    # shape needed a second checkpoint of the feature table just to feed
+    # the join side)
+    f = hyperplane_buckets(
+        extract_features(assets).select("asset_id", "embedding"),
+        n_bits=n_bits, dim=FEATURE_DIM, seed=seed,
+        id_col="asset_id", vec_col="embedding", carry_vec=True,
     )
-    b = hyperplane_buckets(feats, n_bits=n_bits, dim=FEATURE_DIM, seed=seed,
-                           id_col="asset_id", vec_col="embedding")
-    f = feats.select(
-        F.col("asset_id"), as_double(F.col("embedding")).alias("v")
-    ).join(b, "asset_id")
     return (
         capped_bucket_self_join(f, "asset_id", cap=bucket_cap, salts=salts)
         .select(

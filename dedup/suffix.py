@@ -240,20 +240,26 @@ def incremental_anchored_candidates(
 def _assemble_anchors(anchors: DataFrame, max_anchors: int) -> DataFrame:
     """(key_a, key_b, off_a, off_b) rows → (key_a, key_b, anchors≤cap).
 
-    Window over PAIR KEYS only — the engine-wide invariant is "no Window
-    over a content-carrying child" (plan-tested across run_dedup and
-    substring_pairs): these rows are 4 fixed-width columns, partitions are
-    bounded by fingerprints-per-pair, and content never reaches this plan."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("key_a", "key_b").orderBy(
-        F.xxhash64("off_a", "off_b"), F.asc("off_a"), F.asc("off_b")
+    One hash aggregation over PAIR KEYS only (these rows are 4 fixed-width
+    columns; content never reaches this plan): collect the (hash, off_a,
+    off_b) structs per pair, array_sort (lexicographic = the previous
+    window's orderBy(hash, off_a, off_b)), keep the first `max_anchors`.
+    Same deterministic hash-ordered anchor SET as the r7 row_number window,
+    without the window's full partition sort pass — the groupBy's partial
+    (map-side) collect_list also pre-folds each pair's anchors before the
+    exchange. Per-pair anchor counts are bounded by fingerprints-per-pair,
+    the same buffering class the window sort had."""
+    item = F.struct(
+        F.xxhash64("off_a", "off_b").alias("h"), "off_a", "off_b"
+    )
+    keep = (
+        f"transform(slice(array_sort(all_anchors), 1, {int(max_anchors)}), "
+        "x -> struct(x.off_a AS off_a, x.off_b AS off_b))"
     )
     return (
-        anchors.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= max_anchors)
-        .groupBy("key_a", "key_b")
-        .agg(F.collect_list(F.struct("off_a", "off_b")).alias("anchors"))
+        anchors.groupBy("key_a", "key_b")
+        .agg(F.collect_list(item).alias("all_anchors"))
+        .select("key_a", "key_b", F.expr(keep).alias("anchors"))
     )
 
 
