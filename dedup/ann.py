@@ -33,6 +33,23 @@ from pyspark.sql.types import (
 from dedup.session import materialize
 
 
+def filter_projected(df, pred):
+    """Filter on an already-projected EXPENSIVE column without Catalyst
+    pushing the predicate back through the projection — which re-inlines
+    the column's defining expression into the filter and evaluates it
+    twice per row (guide §4.4's duplicated-evaluation pathology; for the
+    higher-order-function cosine this measured 2x the verify stage). A
+    nondeterministic placeholder column in the same projection legally
+    pins it below the filter (predicate pushdown through a Project
+    requires every project field to be deterministic) and is dropped
+    immediately; results are unchanged."""
+    return (
+        df.withColumn("_no_pushdown", F.rand(0))
+        .where(pred)
+        .drop("_no_pushdown")
+    )
+
+
 def _cosine(a, b):  # Column expr: cosine between two array<double>
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
                       lambda acc, x: acc + x)
@@ -122,9 +139,17 @@ def hyperplane_buckets(
                 out["v"] = list(m)
             yield pd.DataFrame(out)
 
-    return df.select(F.col(id_col).alias(id_col), vec_col).mapInPandas(
-        bucketize, schema
-    )
+    from dedup.session import kernel_partitions
+
+    src = df.select(F.col(id_col).alias(id_col), vec_col)
+    # scale-adaptive kernel parallelism (session.kernel_partitions): a
+    # small scan-fed vector table would run the matmul on its (few) splits
+    # and — with carry_vec — leave every downstream bucket join that
+    # narrow; at scale the scan is already core-wide and this is a no-op
+    parts = kernel_partitions(src)
+    if parts:
+        src = src.repartition(parts, id_col)
+    return src.mapInPandas(bucketize, schema)
 
 
 HOT_BUCKET_MIN = 64    # buckets below this skip salting (one task is fine)
@@ -272,7 +297,7 @@ def vector_near_dup_pairs(
             "id_a", "id_b",
             F.round(_cosine(F.col("v_a"), F.col("v_b")), 4).alias("cosine"),
         )
-        .where(F.col("cosine") >= threshold)
+        .transform(lambda d: filter_projected(d, F.col("cosine") >= threshold))
         .dropDuplicates(["id_a", "id_b"])
     )
 
@@ -382,9 +407,15 @@ def cell_assignments(df: DataFrame, centroids, nearest: int,
     if carry_vec:
         fields.append(StructField("v", ArrayType(DoubleType(), False), False))
     cell_schema = StructType(fields)
-    return df.select(F.col(id_col).alias("vec_id"), vec_col).mapInPandas(
-        go, cell_schema
-    )
+
+    from dedup.session import kernel_partitions
+
+    src = df.select(F.col(id_col).alias("vec_id"), vec_col)
+    # same scale-adaptive parallelism as hyperplane_buckets
+    parts = kernel_partitions(src)
+    if parts:
+        src = src.repartition(parts, "vec_id")
+    return src.mapInPandas(go, cell_schema)
 
 
 def ivf_cell_audit(

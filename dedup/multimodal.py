@@ -285,9 +285,18 @@ def extract_features(assets: DataFrame) -> DataFrame:
                 }
             )
 
-    return assets.select("asset_id", "kind", "payload").mapInPandas(
-        go, FEATURE_SCHEMA
-    )
+    from dedup.session import kernel_partitions
+
+    src = assets.select("asset_id", "kind", "payload")
+    # payload decode is the CPU-dense kernel of the asset lane: a small
+    # scan-fed table would otherwise run it on its (few) input splits AND
+    # leave every downstream consumer of the feature chain that narrow —
+    # measured 4x on the capped bucket join at 50k assets. At scale the
+    # scan is already core-wide and this is a no-op (session.kernel_partitions)
+    parts = kernel_partitions(src)
+    if parts:
+        src = src.repartition(parts, "asset_id")
+    return src.mapInPandas(go, FEATURE_SCHEMA)
 
 
 def synthetic_pgm(doc_id: int, w: int = 128, h: int = 128,
@@ -381,9 +390,15 @@ def asset_tile_hashes(assets: DataFrame, tile_px: int = TILE_PX,
                  "tile_hash": pd.Series(hashes, dtype=np.int64)}
             )
 
-    return assets.select("asset_id", "kind", "payload").mapInPandas(
-        go, TILE_SCHEMA
-    )
+    from dedup.session import kernel_partitions
+
+    src = assets.select("asset_id", "kind", "payload")
+    # same scale-adaptive parallelism as extract_features: tile decoding is
+    # CPU-dense and the input is scan-fed
+    parts = kernel_partitions(src)
+    if parts:
+        src = src.repartition(parts, "asset_id")
+    return src.mapInPandas(go, TILE_SCHEMA)
 
 
 def asset_containment(assets: DataFrame, tile_px: int = TILE_PX,
@@ -435,7 +450,12 @@ def asset_near_dups(assets: DataFrame, n_bits: int = 12, seed: int = 42,
     buffered, hot-but-eligible buckets salted across `salts` tasks — a stub
     decoder mapping many payloads near one another (or a dense perceptual
     region: logo watermarks, silence) can't turn one bucket quadratic."""
-    from dedup.ann import _cosine, capped_bucket_self_join, hyperplane_buckets
+    from dedup.ann import (
+        _cosine,
+        capped_bucket_self_join,
+        filter_projected,
+        hyperplane_buckets,
+    )
 
     # decode → bucketize is one chained kernel pass; carry_vec emits
     # (asset_id, bucket, v) directly so no id re-attach join is needed, and
@@ -455,7 +475,7 @@ def asset_near_dups(assets: DataFrame, n_bits: int = 12, seed: int = 42,
             F.col("id_b").alias("asset_b"),
             F.round(_cosine(F.col("v_a"), F.col("v_b")), 4).alias("cosine"),
         )
-        .where(F.col("cosine") >= threshold)
+        .transform(lambda d: filter_projected(d, F.col("cosine") >= threshold))
         .dropDuplicates(["asset_a", "asset_b"])
     )
 
