@@ -33,23 +33,6 @@ from pyspark.sql.types import (
 from dedup.session import materialize
 
 
-def filter_projected(df, pred):
-    """Filter on an already-projected EXPENSIVE column without Catalyst
-    pushing the predicate back through the projection — which re-inlines
-    the column's defining expression into the filter and evaluates it
-    twice per row (guide §4.4's duplicated-evaluation pathology; for the
-    higher-order-function cosine this measured 2x the verify stage). A
-    nondeterministic placeholder column in the same projection legally
-    pins it below the filter (predicate pushdown through a Project
-    requires every project field to be deterministic) and is dropped
-    immediately; results are unchanged."""
-    return (
-        df.withColumn("_no_pushdown", F.rand(0))
-        .where(pred)
-        .drop("_no_pushdown")
-    )
-
-
 def _cosine(a, b):  # Column expr: cosine between two array<double>
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0),
                       lambda acc, x: acc + x)
@@ -297,7 +280,7 @@ def vector_near_dup_pairs(
             "id_a", "id_b",
             F.round(_cosine(F.col("v_a"), F.col("v_b")), 4).alias("cosine"),
         )
-        .transform(lambda d: filter_projected(d, F.col("cosine") >= threshold))
+        .where(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
 

@@ -450,12 +450,7 @@ def asset_near_dups(assets: DataFrame, n_bits: int = 12, seed: int = 42,
     buffered, hot-but-eligible buckets salted across `salts` tasks — a stub
     decoder mapping many payloads near one another (or a dense perceptual
     region: logo watermarks, silence) can't turn one bucket quadratic."""
-    from dedup.ann import (
-        _cosine,
-        capped_bucket_self_join,
-        filter_projected,
-        hyperplane_buckets,
-    )
+    from dedup.ann import _cosine, capped_bucket_self_join, hyperplane_buckets
 
     # decode → bucketize is one chained kernel pass; carry_vec emits
     # (asset_id, bucket, v) directly so no id re-attach join is needed, and
@@ -475,7 +470,7 @@ def asset_near_dups(assets: DataFrame, n_bits: int = 12, seed: int = 42,
             F.col("id_b").alias("asset_b"),
             F.round(_cosine(F.col("v_a"), F.col("v_b")), 4).alias("cosine"),
         )
-        .transform(lambda d: filter_projected(d, F.col("cosine") >= threshold))
+        .where(F.col("cosine") >= threshold)
         .dropDuplicates(["asset_a", "asset_b"])
     )
 

@@ -437,7 +437,7 @@ def q_embedding_cosine_pairs(spark, sf_dir):
     verifier the ANN paths are audited against, JVM zip_with/aggregate
     expressions only. The threshold predicate applies to the ROUNDED value
     in both engines so the comparison is bit-identical."""
-    from dedup.ann import _cosine, as_double, filter_projected
+    from dedup.ann import _cosine, as_double
 
     e = _emb(spark, sf_dir).where(F.col("vec_id") < 200).select(
         "vec_id", as_double(F.col("embedding")).alias("v")
@@ -451,7 +451,7 @@ def q_embedding_cosine_pairs(spark, sf_dir):
             F.col("b.vec_id").alias("id_b"),
             F.round(_cosine(F.col("a.v"), F.col("b.v")), 4).alias("cosine"),
         )
-        .transform(lambda d: filter_projected(d, F.col("cosine") >= 0.28))
+        .where(F.col("cosine") >= 0.28)
     )
 
 

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-from dedup.ann import HOT_BUCKET_MIN, _cosine, filter_projected
+from dedup.ann import HOT_BUCKET_MIN, _cosine
 from dedup.config import DedupConfig
 from dedup.lsh import candidate_pairs
 from dedup.minhash import compute_bands, with_doc_key
@@ -683,7 +683,7 @@ def salted_new_vs_all_pairs(
             F.greatest(f"a.{id_col}", f"b.{id_col}").alias("id_b"),
             F.round(_cosine(F.col("a.v"), F.col("b.v")), 4).alias("cosine"),
         )
-        .transform(lambda d: filter_projected(d, F.col("cosine") >= threshold))
+        .where(F.col("cosine") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
 
