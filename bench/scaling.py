@@ -35,8 +35,7 @@ from dedup.minhash import compute_signatures, compute_bands
 from dedup.lsh import candidate_pairs
 
 cores = int(sys.argv[1])
-spark = get_spark("scalebench", master=f"local[{{cores}}]",
-                  shuffle_partitions=max(2 * cores, 8))
+spark = get_spark("scalebench", master=f"local[{{cores}}]")
 df = spark.read.parquet({corpus!r})
 n_files = df.count()
 

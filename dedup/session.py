@@ -17,7 +17,17 @@ def get_spark(
     coalescing) on — the free optimizations SURVEY §4 relies on."""
     master = master or os.environ.get("SPARK_MASTER", "local[*]")
     cores = _parallelism(master)
-    shuffle_partitions = shuffle_partitions or max(2 * cores, 8)
+    # INITIAL shuffle partition count: deliberately an overestimate (8 per
+    # core) because AQE coalescing can only MERGE partitions, never split
+    # them — with the r7 value of 2/core, a GB-scale shuffle at a low core
+    # count produced multi-hundred-MB partitions that blew the block
+    # manager's deserialized unroll during checkpoints (measured: 43M band
+    # rows over 8 partitions at local[4]/4g → GC collapse). AQE's
+    # parallelism-first coalescing still merges small workloads down to
+    # ~one partition per core, so tiny-sf walls are unaffected; the same
+    # overestimate-then-coalesce recipe is the standard AQE deployment at
+    # cluster scale.
+    shuffle_partitions = shuffle_partitions or max(8 * cores, 64)
     # in local mode the driver JVM hosts all executor threads — the 1g default
     # heap causes GC collapse at high parallelism, and an over-sized heap with
     # uncapped GC threads is just as bad: measured on this workload, 32g heap
