@@ -637,13 +637,24 @@ def run_dedup(
 
     t0 = time.time()
     sigs = signatures_with_resume(rep_docs, cfg, warehouse)
-    sigs = sigs.persist()
+    # materialize (localCheckpoint), NOT persist(): a cached plan is
+    # materialized with AQE partition coalescing DISABLED (Spark keeps
+    # cached output partitioning deterministic unless
+    # canChangeCachedPlanOutputPartitioning is set), so the Python
+    # signature kernel and every consumer wave under a persist() ran at
+    # the raw initial shuffle-partition count — 8x cores tasks of ~20
+    # docs each at bench scale, ~0.25s Python dispatch overhead apiece
+    # (measured: flagship 6.2s -> 2.1s min swapping persist for the
+    # checkpoint). localCheckpoint finalizes the adaptive plan, so the
+    # kernel and the checkpointed blocks inherit AQE's size-targeted
+    # partitioning at any scale.
+    sigs = materialize(sigs, eager=False)
     _metric(SIG_STAGE, t0,
             rows_out=sigs.count() if warehouse is not None else None)
 
     t0 = time.time()
-    # sigs is persisted above, so the band explode is a cheap projection per
-    # consumer — no separate band checkpoint needed (r8 fused bands)
+    # sigs is checkpointed above, so the band explode is a cheap projection
+    # per consumer — no separate band checkpoint needed (r8 fused bands)
     bands = compute_bands(sigs, cfg)
     pairs, dropped = candidate_pairs(bands, cfg, materialize_bands=False)
     if warehouse is not None:
@@ -673,5 +684,4 @@ def run_dedup(
     if warehouse is not None:
         warehouse.write(clusters, "clusters", cfg_hash)
         clusters = warehouse.read("clusters")
-    sigs.unpersist()
     return clusters

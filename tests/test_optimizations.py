@@ -163,3 +163,27 @@ class TestJaccardRestructure:
             )
         ).collect()))
         assert direct == arith
+
+
+class TestNoCachedPlans:
+    def test_no_persist_or_cache_in_engine(self):
+        """persist()/cache() is banned in dedup/ (r8 continuation): Spark
+        materializes a CACHED plan with AQE partition coalescing disabled
+        (cached output partitioning stays deterministic unless
+        canChangeCachedPlanOutputPartitioning is set), so a persist() under
+        a Python kernel froze the kernel and every consumer wave at the raw
+        initial shuffle-partition count — measured 6.2s -> 2.1s on the
+        flagship swapping run_dedup's sigs.persist() for materialize()
+        (localCheckpoint finalizes the adaptive plan). materialize() is the
+        sanctioned multi-consumer lineage cut."""
+        import pathlib
+
+        pkg = pathlib.Path(__file__).resolve().parent.parent / "dedup"
+        banned = (".persist(", ".cache(")
+        offenders = [
+            (p.name, pat) for p in sorted(pkg.glob("*.py"))
+            for line in p.read_text().splitlines()
+            for pat in banned
+            if pat in line and not line.lstrip().startswith("#")
+        ]
+        assert offenders == [], f"cached plans found in {offenders}"
