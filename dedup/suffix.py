@@ -139,8 +139,17 @@ def fingerprints(df: DataFrame, cfg: DedupConfig,
     # the gram hash + dedup kernel is CPU-bound; a small scan-fed corpus
     # would otherwise run it on its (few) input splits (guide §2:
     # scale-adaptive parallelism — at real scale the scan is already wide
-    # and this is a no-op, so content is never re-shuffled there)
-    parts = kernel_partitions(src)
+    # and this is a no-op, so content is never re-shuffled there).
+    # task_bytes is 4x smaller than the kernel default: at sample_p=1 this
+    # kernel emits ~one fp row per content byte/8 (every 64-gram hashed,
+    # lexsorted and boundary-masked), so its CPU cost per COMPRESSED scan
+    # byte — which is what the optimizer estimate measures — is several
+    # times the signature kernel's; the default target left the whole
+    # kernel on 5 tasks at bench scale (1.4s of a 3s wall; 16KB target ->
+    # ~20 tasks, substring_pairs 3.5s -> 2.4s min interleaved A/B). The
+    # wide-input branch is unaffected: a real-scale scan still keeps its
+    # partitioning and never re-shuffles content.
+    parts = kernel_partitions(src, task_bytes=16 << 10)
     if parts:
         src = src.repartition(parts, key_col)
     return src.mapInPandas(fp, FP_SCHEMA)
