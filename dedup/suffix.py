@@ -157,10 +157,22 @@ def fingerprints(df: DataFrame, cfg: DedupConfig,
 
 def _eligible_fp(fp_df: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Fingerprint rows whose hash bucket passes the cap (same compensative
-    discipline as lsh.candidate_pairs: counts shuffle, never members)."""
+    discipline as lsh.candidate_pairs: counts shuffle, never members).
+
+    The eligible-hash side carries a SHUFFLE_HASH hint: fp_df is usually a
+    localCheckpoint of the fingerprint kernel, and a LogicalRDD inherits the
+    PRE-kernel plan's size estimate, which cannot see the kernel's ~100x row
+    fan-out (one fp row per sampled gram) — without the hint the planner
+    auto-broadcasts the "small" fp table itself (measured: 2.3 GiB collected
+    to the driver on a 50k-doc corpus, a driver-OOM scale hazard and 4s of
+    collect wall). The hint pins the strategy guide-§3.1-style: shuffled
+    hash join with the bounded hash set as build side (uniform 64-bit keys,
+    so per-partition build size is corpus/N — no skew by construction), and
+    the gate's fp_hash partitioning is exactly what the downstream anchor
+    self-join needs, so no extra exchange is introduced."""
     sizes = fp_df.groupBy("fp_hash").agg(F.count("*").alias("sz"))
     eligible = sizes.where((F.col("sz") >= 2) & (F.col("sz") <= cfg.band_bucket_cap))
-    return fp_df.join(eligible.select("fp_hash"), "fp_hash")
+    return fp_df.join(eligible.select("fp_hash").hint("shuffle_hash"), "fp_hash")
 
 
 def anchored_candidates(fp_df: DataFrame, cfg: DedupConfig,
@@ -213,6 +225,9 @@ def incremental_anchored_candidates(
         new_sz.join(old_sz, "fp_hash", "left")
         .where((total >= 2) & (total <= cfg.band_bucket_cap))
         .select("fp_hash")
+        # same SHUFFLE_HASH pin as _eligible_fp: never let a misestimated
+        # kernel-output side become the broadcast build side of the gate
+        .hint("shuffle_hash")
     )
     gated_new = new_fps.join(eligible, "fp_hash")
     gated_old = old_fps.join(eligible, "fp_hash")
