@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 
 def get_spark(
@@ -112,11 +112,36 @@ def materialize(df, eager: bool = False):
     executor-local blocks whose loss fails the query (it simply re-runs),
     the right trade when there is no durable store to write to. Both cut
     lineage, so unlike persist() there is no plan-fingerprint cache that a
-    later identical plan could silently alias."""
+    later identical plan could silently alias.
+
+    The checkpointed frame is re-wrapped WITHOUT the origin plan's
+    propagated size estimate. Spark 4 carries the pre-checkpoint logical
+    stats onto the checkpoint's LogicalRDD, and for kernel outputs that
+    estimate is garbage — a mapInPandas plan is estimated at its INPUT's
+    size, blind to 10-100x row fan-out — so the static planner was
+    auto-broadcasting corpus-sized checkpoint tables (measured: the whole
+    fingerprint table, 2.3 GiB, collected to the driver; the signature
+    table chosen as a 66 MiB build side over the far smaller pairs side).
+    With the estimate stripped (defaultSizeInBytes, i.e. "unknown, assume
+    huge" — the pre-Spark-3.4 checkpoint behavior), the static planner
+    never broadcasts a checkpoint, and AQE picks the build side from TRUE
+    runtime sizes of the other side's shuffle stages — correct at every
+    scale instead of correct only when the guess happens to be."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=eager)
-    return df.localCheckpoint(eager=eager)
+        ck = df.checkpoint(eager=eager)
+    else:
+        ck = df.localCheckpoint(eager=eager)
+    try:
+        spark = df.sparkSession
+        jdf = spark._jsparkSession.internalCreateDataFrame(
+            ck._jdf.queryExecution().toRdd(), ck._jdf.schema(), False
+        )
+        return DataFrame(jdf, spark)
+    except Exception:
+        # private-API drift in a future Spark: checkpoint semantics are
+        # unchanged, only the stats hygiene is lost
+        return ck
 
 
 _SIZE_SUFFIXES = {"k": 10, "m": 20, "g": 30, "t": 40}

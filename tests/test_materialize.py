@@ -54,3 +54,33 @@ def test_local_checkpoint_without_dir(spark):
     assert m.count() == 100
     # lineage is cut: the materialized plan reads an RDD scan, not range()
     assert "Range" not in m._jdf.queryExecution().executedPlan().toString()
+
+
+def test_materialize_strips_origin_stats(spark):
+    """A checkpoint must not inherit the pre-checkpoint size estimate: for
+    kernel outputs that estimate is blind to row fan-out and made the
+    static planner auto-broadcast corpus-sized tables (r8 §6g). The
+    materialized frame must report "unknown/huge" so join-strategy choice
+    falls to AQE's true runtime sizes."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from dedup.session import materialize
+
+    df = spark.range(50).select(F.col("id").cast("string").alias("k"))
+
+    def fan(batches):
+        for b in batches:
+            yield pd.concat([b] * 100)
+
+    out = df.mapInPandas(fan, "k string")
+    m = materialize(out, eager=False)
+    est = int(m._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    default_size = int(
+        spark.conf.get("spark.sql.defaultSizeInBytes", str(2**63 - 1))
+    )
+    assert est >= default_size, (
+        f"checkpoint inherited a propagated estimate ({est} bytes) — the "
+        "static planner will mis-broadcast kernel-output checkpoints"
+    )
+    assert m.count() == 5000
